@@ -1,0 +1,94 @@
+"""Configuration dataclasses for the TPU-native triplet_match framework.
+
+The reference has three config tiers (see /root/reference/include/common:72-82,
+include/discretize:8-12, include/impl/scene.hpp:11-29).  Here everything is a
+runtime dataclass; the reference's compile-time ``detail::`` constants become
+documented defaults in :class:`SearchPolicy`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleParams:
+    """Search sampling knobs.
+
+    Mirrors ``triplet_match::sample_parameters``
+    (/root/reference/include/common:72-82).  ``min/max_triplet_ratio`` and
+    ``search_min/max_scale`` are vestigial in the reference live path (only
+    the diameter factors, orthogonality-style tangent gate, and ``force_up``
+    are read) but kept for API parity.
+    """
+
+    min_triplet_ratio: float = 0.2
+    max_triplet_ratio: float = 1.0
+    search_min_scale: float = 1.0
+    search_max_scale: float = 1.0
+    min_diameter_factor: float = 0.1
+    max_diameter_factor: float = 1.0
+    min_orthogonality: float = 0.01
+    redundancy_factor: float = 1.0
+    force_up: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscretizationParams:
+    """Feature quantization parameters.
+
+    Mirrors ``triplet_match::discretization_params``
+    (/root/reference/include/discretize:8-12).  The demo app used
+    ``{0.05, 10deg}`` (/root/reference/apps/triplet_match.cpp:17-20), i.e.
+    20 distance steps and a 10-degree angle step.
+    """
+
+    distance_step_count: int = 20
+    angle_step: float = math.radians(10.0)
+    curvature_ratio_step_count: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchPolicy:
+    """Search policy constants + TPU batching shape caps.
+
+    The first block mirrors the reference's compile-time ``detail::``
+    namespace (/root/reference/include/impl/scene.hpp:11-29).  The second
+    block holds the static batch shapes that replace the reference's
+    data-dependent loop bounds: on TPU every loop extent must be static, so
+    dynamic counts become (capacity, mask) pairs.
+    """
+
+    # --- reference detail:: constants (impl/scene.hpp:11-29) ---
+    early_out: bool = True
+    deterministic: bool = True  # reference defaults to clock seeds; we are deterministic by default
+    match_probability: float = 0.999
+    min_sample_count: int = 10
+    corr_dist_factor: float = 3.0
+    query_limit: int = 200
+    force_exhaustive: bool = False
+    samples_on_all: bool = True
+    curvature_k: int = 30
+    early_drop: bool = True
+    weighted_distance: bool = False
+    negative_scores: bool = False
+
+    # --- edge-point classification (impl/model.hpp:96-99, impl/scene.hpp:50) ---
+    tangent_norm_threshold: float = 0.7
+    curvature_ratio_threshold: float = 0.2
+    pair_parallel_epsilon: float = 0.01  # reject pairs with 1-|d.t| < eps
+
+    # --- TPU batching caps (static shapes; replace dynamic loop bounds) ---
+    num_first_samples: int = 256  # RANSAC outer batch per round (outer_bound analog)
+    num_second_samples: int = 32  # second points tried per first (inner_bound analog)
+    query_cap: int = 16  # model pair candidates gathered per feature query (<= query_limit)
+    score_neighbors: int = 512  # scene points scored per hypothesis (radius-search analog)
+    finalists: int = 4  # hypotheses promoted to full scoring + ICP per round (best_ts analog, <=5)
+    max_instances: int = 8  # multi-instance extraction cap per find_all
+    max_rounds: int = 8  # outer while(true) cap (impl/scene.hpp:70-95)
+
+
+DEFAULT_SAMPLE_PARAMS = SampleParams()
+DEFAULT_DISCRETIZATION = DiscretizationParams()
+DEFAULT_POLICY = SearchPolicy()

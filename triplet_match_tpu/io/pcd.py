@@ -1,0 +1,101 @@
+"""PCD file IO (numpy; no PCL dependency).
+
+Replaces ``pointcloud::from_pcd`` (/root/reference/include/impl/pointcloud.hpp:58-64).
+Supports ASCII and binary (non-compressed) PCD v0.7.  Tangents are read from
+``tangent_x/y/z`` fields when present, falling back to the reference's
+``PointSurfel.data_c[1..3]`` convention (fields ``data_c1..data_c3``,
+accessor /root/reference/include/common:62-70); missing fields default to 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from triplet_match_tpu.core.cloud import PointCloud
+
+_TYPE_MAP = {("F", 4): "<f4", ("F", 8): "<f8", ("I", 1): "<i1", ("I", 2): "<i2",
+             ("I", 4): "<i4", ("U", 1): "<u1", ("U", 2): "<u2", ("U", 4): "<u4"}
+
+
+def _parse_header(data: bytes):
+    header = {}
+    offset = 0
+    while True:
+        nl = data.index(b"\n", offset)
+        line = data[offset:nl].decode("ascii", "replace").strip()
+        offset = nl + 1
+        if not line or line.startswith("#"):
+            continue
+        key, _, rest = line.partition(" ")
+        header[key.upper()] = rest.split()
+        if key.upper() == "DATA":
+            break
+    return header, offset
+
+
+def read_pcd(path: str, capacity: int | None = None) -> PointCloud:
+    with open(path, "rb") as f:
+        data = f.read()
+    header, offset = _parse_header(data)
+
+    fields = header["FIELDS"]
+    sizes = [int(s) for s in header["SIZE"]]
+    types = header["TYPE"]
+    counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+    n = int(header["POINTS"][0])
+    mode = header["DATA"][0].lower()
+
+    dtype_fields, names = [], []
+    for fld, sz, ty, ct in zip(fields, sizes, types, counts):
+        base = _TYPE_MAP[(ty, sz)]
+        for c in range(ct):
+            name = fld if ct == 1 else f"{fld}_{c}"
+            names.append(name)
+            dtype_fields.append((name, base))
+    dt = np.dtype(dtype_fields)
+
+    if mode == "binary":
+        arr = np.frombuffer(data, dtype=dt, count=n, offset=offset)
+    elif mode == "ascii":
+        text = data[offset:].decode("ascii", "replace")
+        flat = np.loadtxt(text.splitlines(), dtype=np.float64, ndmin=2)
+        arr = np.zeros(n, dtype=dt)
+        for i, name in enumerate(names):
+            arr[name] = flat[:n, i].astype(dt[name])
+    else:
+        raise ValueError(f"unsupported PCD DATA mode: {mode}")
+
+    def col(*cands, default=0.0):
+        for c in cands:
+            if c in names:
+                return np.asarray(arr[c], np.float32)
+        return np.full(n, default, np.float32)
+
+    xyz = np.stack([col("x"), col("y"), col("z")], 1)
+    normal = np.stack([col("normal_x", "nx"), col("normal_y", "ny"), col("normal_z", "nz")], 1)
+    tangent = np.stack(
+        [col("tangent_x", "data_c_1", "data_c1"),
+         col("tangent_y", "data_c_2", "data_c2"),
+         col("tangent_z", "data_c_3", "data_c3")], 1)
+    return PointCloud.from_arrays(xyz, normal, tangent, capacity=capacity)
+
+
+def write_pcd(path: str, xyz, normal=None, tangent=None, *, binary: bool = True):
+    xyz = np.asarray(xyz, np.float32)
+    n = xyz.shape[0]
+    normal = np.zeros_like(xyz) if normal is None else np.asarray(normal, np.float32)
+    tangent = np.zeros_like(xyz) if tangent is None else np.asarray(tangent, np.float32)
+    fields = "x y z normal_x normal_y normal_z tangent_x tangent_y tangent_z"
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+        f"FIELDS {fields}\nSIZE 4 4 4 4 4 4 4 4 4\nTYPE F F F F F F F F F\n"
+        f"COUNT 1 1 1 1 1 1 1 1 1\nWIDTH {n}\nHEIGHT 1\n"
+        f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA {'binary' if binary else 'ascii'}\n"
+    )
+    body = np.concatenate([xyz, normal, tangent], axis=1).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(body.tobytes())
+        else:
+            np.savetxt(f, body, fmt="%.9g")

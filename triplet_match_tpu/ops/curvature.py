@@ -1,0 +1,68 @@
+"""Principal-curvature estimation (vmapped eigendecomposition).
+
+Mirrors ``principal_curvatures`` (/root/reference/include/impl/pointcloud.hpp:3-44):
+for each point, project the k-NN neighborhood normals onto the point's
+tangent plane (``M = I - n n^T``), form the covariance of the demeaned
+projected normals, and eigendecompose.  The reference (via ``pcl::eigen33``)
+returns eigenvalues in ascending order and reports
+
+  pc_min = ev[1] / k,  pc_max = ev[2] / k,  pc_max_dir = eigvec(ev[2]).
+
+Only the ratio pc_min/pc_max is consumed by the live match path (edge-point
+filter at /root/reference/include/impl/model.hpp:96-99 and impl/scene.hpp:50);
+the direction is carried for API parity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from triplet_match_tpu.ops.knn import knn
+
+
+class CurvatureInfo(NamedTuple):
+    pc_max_dir: jax.Array  # [N, 3]
+    pc_min: jax.Array  # [N]
+    pc_max: jax.Array  # [N]
+
+
+def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureInfo:
+    """Per-point principal curvature info over the full (padded) cloud."""
+    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block)  # [N, k]
+    nbr_normals = cloud.normal[idx]  # [N, k, 3]
+
+    n = cloud.normal
+    # proj = (I - n n^T) nbr  ==  nbr - (nbr . n) n
+    dots = jnp.einsum("nkd,nd->nk", nbr_normals, n)
+    proj = nbr_normals - dots[..., None] * n[:, None, :]  # [N, k, 3]
+
+    centroid = jnp.mean(proj, axis=1, keepdims=True)
+    demean = proj - centroid
+    # Raw scatter (no 1/k) exactly like the reference accumulation
+    # (impl/pointcloud.hpp:17-36); the 1/k lands on the eigenvalues.
+    cov = jnp.einsum("nkd,nke->nde", demean, demean)
+
+    evs, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    area_inv = 1.0 / float(k)
+    return CurvatureInfo(
+        pc_max_dir=evecs[..., 2],
+        pc_min=evs[..., 1] * area_inv,
+        pc_max=evs[..., 2] * area_inv,
+    )
+
+
+def edge_mask(cloud, curv: CurvatureInfo, *, tangent_norm_threshold: float = 0.7,
+              curvature_ratio_threshold: float = 0.2) -> jax.Array:
+    """Edge-point classification.
+
+    Mirrors the subset filter ``tangent.norm() > 0.7 && pc_min/pc_max < 0.2``
+    (/root/reference/include/impl/model.hpp:96-99, impl/scene.hpp:50).  A zero
+    pc_max (perfectly coherent normals) yields ratio=+inf -> not an edge,
+    matching the reference's NaN-compares-false behavior.
+    """
+    tnorm = jnp.linalg.norm(cloud.tangent, axis=-1)
+    ratio = jnp.where(curv.pc_max > 0.0, curv.pc_min / jnp.maximum(curv.pc_max, 1e-30), jnp.inf)
+    return cloud.valid & (tnorm > tangent_norm_threshold) & (ratio < curvature_ratio_threshold)
