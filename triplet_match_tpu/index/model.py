@@ -1,0 +1,328 @@
+"""Model compilation: voxel LUT + sorted pair-feature table.
+
+TPU-native replacement for ``model<Point>::init`` and its two query indexes
+(/root/reference/include/impl/model.hpp:15-192):
+
+* The dense **voxel LUT** mapping every voxel of the model bounding volume
+  to its nearest model point (impl/model.hpp:41-94) is already TPU-shaped:
+  one batched 1-NN of inverse-mapped voxel centers against the model cloud.
+* The ``unordered_multimap<discrete_feature, (i,j)>`` (impl/model.hpp:124-149)
+  becomes a **sorted key table**: discrete features pack losslessly into one
+  uint32 key; valid pair keys are sorted together with their (i, j) payloads
+  and queried by ``searchsorted`` + bounded gather (the reference itself caps
+  bucket reads at query_limit=200, impl/scene.hpp:19, which justifies the
+  fixed-width gather).
+
+Model compilation is an offline step (the reference rebuilds per run; we
+also support serialization — something the reference lacks, SURVEY §5).
+Heavy math runs in JAX; the table assembly stays in jnp so compilation can
+be jitted per (capacity, edge-cap) shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triplet_match_tpu.config import (
+    DEFAULT_DISCRETIZATION,
+    DEFAULT_POLICY,
+    DEFAULT_SAMPLE_PARAMS,
+    DiscretizationParams,
+    SampleParams,
+    SearchPolicy,
+)
+from triplet_match_tpu.core import cloud as cl
+from triplet_match_tpu.features import discretize as dz
+from triplet_match_tpu.features import pairfeat as pf
+from triplet_match_tpu.ops import knn as knn_ops
+from triplet_match_tpu.ops.curvature import edge_mask as edge_mask_op
+from triplet_match_tpu.ops.curvature import principal_curvatures
+
+_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "cloud",
+        "resolution",
+        "diameter",
+        "to_voxel",
+        "lut",
+        "edge",
+        "bounds_min",
+        "bounds_max",
+        "keys",
+        "pairs",
+        "pair_count",
+        "n_edge",
+        "n_all",
+    ],
+    meta_fields=["margin"],
+)
+@dataclasses.dataclass(frozen=True)
+class CompiledModel:
+    """Compiled model index (a pytree; serializable as arrays).
+
+    Attributes mirror the reference model state (impl/model.hpp:236-251):
+      cloud:      the (finite-filtered) model cloud.
+      resolution: mean 1-NN distance.
+      diameter:   bbox diagonal.
+      to_voxel:   [4,4] affine world->voxel (impl/model.hpp:52-61).
+      lut:        [ex,ey,ez] int32 nearest model point per voxel.
+      edge:       [N] bool edge-point mask (the ``subset_`` after filtering).
+      bounds_min/bounds_max: [4] feature bounds (``feat_bounds_``).
+      keys:       [P] uint32 sorted packed discrete-feature keys
+                  (invalid-pair slots hold 0xFFFFFFFF at the tail).
+      pairs:      [P,2] int32 (i, j) model point indices, co-sorted.
+      pair_count: scalar int32 — number of valid table entries (the
+                  reference's ``pair_count_`` is famously uninitialized,
+                  impl/model.hpp:248; ours is real).
+      n_edge:     scalar int32 — ``point_count()`` analog (subset size).
+      n_all:      scalar int32 — valid cloud size.
+      margin:     static voxel margin (= 5, impl/model.hpp:48).
+    """
+
+    cloud: cl.PointCloud
+    resolution: jax.Array
+    diameter: jax.Array
+    to_voxel: jax.Array
+    lut: jax.Array
+    edge: jax.Array
+    bounds_min: jax.Array
+    bounds_max: jax.Array
+    keys: jax.Array
+    pairs: jax.Array
+    pair_count: jax.Array
+    n_edge: jax.Array
+    n_all: jax.Array
+    margin: int
+
+    @property
+    def extents(self) -> tuple[int, int, int]:
+        return self.lut.shape
+
+
+def _voxel_grid_setup(lower, upper, resolution_val: float, margin: int):
+    """Voxel extents + world->voxel affine.
+
+    Mirrors impl/model.hpp:41-65: ext = max(bbox_diag / (0.5*resolution), 1),
+    extents = int(ext + 2*margin), per-axis scale ext/range (1 where range ~ 0),
+    translation ``scale*(-lower) + margin - 0.5`` (the -0.5 is the reference's
+    subvoxel shift).  Host-side: extents must be static (they size the LUT).
+    """
+    rng = upper - lower
+    ext = np.maximum(rng / (0.5 * resolution_val), 1.0)
+    extents = (ext + 2.0 * margin).astype(np.int32)
+    eps = 1e-12
+    scale = np.where(rng < 1e-5, 1.0, ext / np.maximum(rng, eps))
+    to_voxel = np.eye(4, dtype=np.float32)
+    to_voxel[0, 0], to_voxel[1, 1], to_voxel[2, 2] = scale
+    to_voxel[:3, 3] = scale * (-lower) + margin - 0.5
+    return tuple(int(e) for e in extents), to_voxel
+
+
+def _pair_pass(cloud, edge, bounds, params, lower_bound, upper_bound, parallel_eps, block=256):
+    """Tiled pass over all edge-point pairs.
+
+    Returns per-pair (valid, key) over the full [N, N] index square (invalid
+    rows/cols masked).  When ``bounds`` is None, instead returns the feature
+    bounds (pass 1, impl/model.hpp:100-122); otherwise packed keys (pass 2,
+    impl/model.hpp:124-149).
+    """
+    n = cloud.xyz.shape[0]
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    xyz = jnp.pad(cloud.xyz, ((0, pad), (0, 0)))
+    tan = jnp.pad(cloud.tangent, ((0, pad), (0, 0)))
+    em = jnp.pad(edge, (0, pad))
+
+    from jax import lax
+
+    def tile(i0):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i0, block, axis=0)
+        p0 = sl(xyz)[:, None, :]
+        t0 = sl(tan)[:, None, :]
+        e0 = sl(em)[:, None]
+        p1 = xyz[None, :, :]
+        t1 = tan[None, :, :]
+        rows = i0 + jnp.arange(block)
+        not_self = rows[:, None] != jnp.arange(n + pad)[None, :]
+        gates = pf.pair_gates(p0, p1, t0, lower_bound, upper_bound, parallel_eps)
+        valid = e0 & em[None, :] & not_self & gates
+        f = pf.pair_feature(p0, p1, t0, t1)
+        return valid, f
+
+    starts = jnp.arange(nblocks) * block
+
+    if bounds is None:
+
+        def body(carry, i0):
+            bmin, bmax, cnt = carry
+            valid, f = tile(i0)
+            v = valid[..., None]
+            bmin = jnp.minimum(bmin, jnp.min(jnp.where(v, f, jnp.inf), axis=(0, 1)))
+            bmax = jnp.maximum(bmax, jnp.max(jnp.where(v, f, -jnp.inf), axis=(0, 1)))
+            return (bmin, bmax, cnt + jnp.sum(valid)), None
+
+        init = (jnp.full((4,), jnp.inf), jnp.full((4,), -jnp.inf), jnp.int32(0))
+        (bmin, bmax, cnt), _ = jax.lax.scan(body, init, starts)
+        return bmin, bmax, cnt
+    else:
+        bmin, bmax = bounds
+
+        def body(i0):
+            valid, f = tile(i0)
+            valid = valid & pf.feature_valid(f, bmin, bmax)
+            df = dz.discretize_feature(f, bmin, bmax, params)
+            key = jnp.where(valid, dz.pack_key(df), _INVALID_KEY)
+            return key
+
+        keys = jax.lax.map(body, starts)  # [nblocks, block, n+pad]
+        return keys.reshape(-1, n + pad)[: n, :n]
+
+
+def compile_model(
+    cloud: cl.PointCloud,
+    discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
+    sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
+    policy: SearchPolicy = DEFAULT_POLICY,
+    *,
+    margin: int = 5,
+    pair_block: int = 256,
+) -> CompiledModel:
+    """Compile a model cloud into its two query indexes.
+
+    Host-orchestrated analog of ``model::init`` (impl/model.hpp:15-167); the
+    voxel extents and table capacity are concretized on host (they size
+    arrays), all heavy math runs in JAX.
+    """
+    cloud = cl.finite_filter(cloud)
+    res = float(cl.resolution(cloud))
+    lower, upper = (np.asarray(a) for a in cl.bbox(cloud))
+    dia = float(np.linalg.norm(upper - lower))
+
+    extents, to_voxel = _voxel_grid_setup(lower, upper, res, margin)
+    inv = np.linalg.inv(to_voxel)
+
+    # --- voxel LUT: nearest model point per voxel center (impl/model.hpp:81-94)
+    ex, ey, ez = extents
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(ex, dtype=jnp.float32),
+        jnp.arange(ey, dtype=jnp.float32),
+        jnp.arange(ez, dtype=jnp.float32),
+        indexing="ij",
+    )
+    centers = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+    centers = centers @ jnp.asarray(inv[:3, :3].T) + jnp.asarray(inv[:3, 3])
+    lut_idx, _ = knn_ops.nn1(centers, cloud.xyz, cloud.valid)
+    lut = lut_idx.reshape(ex, ey, ez)
+
+    # --- curvature + edge subset (impl/model.hpp:68-71, 96-99)
+    curv = principal_curvatures(cloud, k=policy.curvature_k)
+    edge = edge_mask_op(
+        cloud,
+        curv,
+        tangent_norm_threshold=policy.tangent_norm_threshold,
+        curvature_ratio_threshold=policy.curvature_ratio_threshold,
+    )
+
+    # --- pair passes (impl/model.hpp:100-149)
+    lower_bound = dia * sample_params.min_diameter_factor
+    upper_bound = dia * sample_params.max_diameter_factor
+    bmin, bmax, _ = _pair_pass(
+        cloud, edge, None, discretization, lower_bound, upper_bound,
+        policy.pair_parallel_epsilon, block=pair_block,
+    )
+    # valid_bounds with the live-call args (0, 1) is the identity
+    # (impl/model.hpp:122, impl/feature.hpp:90-114)
+    bmin, bmax = pf.valid_bounds(bmin, bmax, 0.0, 1.0)
+
+    key_sq = _pair_pass(
+        cloud, edge, (bmin, bmax), discretization, lower_bound, upper_bound,
+        policy.pair_parallel_epsilon, block=pair_block,
+    )
+
+    n = cloud.xyz.shape[0]
+    keys_flat = key_sq.reshape(-1)
+    order = jnp.argsort(keys_flat)  # invalid sentinel 0xFFFFFFFF sorts last
+    keys_sorted = keys_flat[order]
+    i_idx = (order // n).astype(jnp.int32)
+    j_idx = (order % n).astype(jnp.int32)
+    pairs = jnp.stack([i_idx, j_idx], axis=-1)
+    pair_count = jnp.sum((keys_sorted != _INVALID_KEY).astype(jnp.int32))
+
+    return CompiledModel(
+        cloud=cloud,
+        resolution=jnp.float32(res),
+        diameter=jnp.float32(dia),
+        to_voxel=jnp.asarray(to_voxel),
+        lut=lut,
+        edge=edge,
+        bounds_min=bmin,
+        bounds_max=bmax,
+        keys=keys_sorted,
+        pairs=pairs,
+        pair_count=pair_count,
+        n_edge=jnp.sum(edge.astype(jnp.int32)),
+        n_all=cloud.count(),
+        margin=margin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def query_pairs(model: CompiledModel, features: jax.Array, params: DiscretizationParams,
+                cap: int) -> tuple[jax.Array, jax.Array]:
+    """Model pairs matching each query feature (bounded-bucket gather).
+
+    Analog of ``model::query`` (impl/model.hpp:169-178) + the caller-side
+    ``query_limit`` cap (impl/scene.hpp:19,310).
+
+    Args:
+      features: [..., 4] continuous pair features.
+      cap: static max pairs returned per query.
+
+    Returns:
+      (pairs [..., cap, 2] int32, valid [..., cap] bool).
+    """
+    df = dz.discretize_feature(features, model.bounds_min, model.bounds_max, params)
+    keys = dz.pack_key(df)
+    shape = keys.shape
+    kf = keys.reshape(-1)
+    left = jnp.searchsorted(model.keys, kf, side="left")
+    right = jnp.searchsorted(model.keys, kf, side="right")
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    gather_idx = left[:, None] + offs[None, :]
+    valid = gather_idx < right[:, None]
+    gather_idx = jnp.minimum(gather_idx, model.keys.shape[0] - 1)
+    pairs = model.pairs[gather_idx]
+    return pairs.reshape(*shape, cap, 2), valid.reshape(*shape, cap)
+
+
+def voxel_query(model: CompiledModel, pos: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Nearest-model-point lookup through the voxel LUT.
+
+    Analog of ``model::voxel_query`` (impl/model.hpp:180-192).  ``pos`` is
+    [..., 3] in model/world space; returns (index [...], in_bounds [...]).
+    Out-of-grid positions return in_bounds=False (the nullopt branch).
+    """
+    v = pos @ model.to_voxel[:3, :3].T + model.to_voxel[:3, 3]
+    ijk = jnp.floor(v).astype(jnp.int32)
+    ex, ey, ez = model.lut.shape
+    in_bounds = (
+        (ijk[..., 0] >= 0) & (ijk[..., 0] < ex)
+        & (ijk[..., 1] >= 0) & (ijk[..., 1] < ey)
+        & (ijk[..., 2] >= 0) & (ijk[..., 2] < ez)
+    )
+    cl_ijk = jnp.clip(ijk, 0, jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.int32))
+    idx = model.lut[cl_ijk[..., 0], cl_ijk[..., 1], cl_ijk[..., 2]]
+    return idx, in_bounds

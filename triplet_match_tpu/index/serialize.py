@@ -1,0 +1,34 @@
+"""Compiled-model serialization.
+
+The reference rebuilds its indexes from scratch every run
+(impl/model.hpp:15-167); the compiled model here is pure arrays, so saving
+and loading it is a cheap win (SURVEY §5 checkpoint/resume).  Format: npz.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.index.model import CompiledModel
+
+_CLOUD_FIELDS = ("xyz", "normal", "tangent", "valid")
+_MODEL_FIELDS = (
+    "resolution", "diameter", "to_voxel", "lut", "edge", "bounds_min",
+    "bounds_max", "keys", "pairs", "pair_count", "n_edge", "n_all",
+)
+
+
+def save_model(path: str, model: CompiledModel) -> None:
+    data = {f"cloud_{k}": np.asarray(getattr(model.cloud, k)) for k in _CLOUD_FIELDS}
+    data.update({k: np.asarray(getattr(model, k)) for k in _MODEL_FIELDS})
+    data["margin"] = np.int32(model.margin)
+    np.savez_compressed(path, **data)
+
+
+def load_model(path: str) -> CompiledModel:
+    with np.load(path) as z:
+        cloud = PointCloud(**{k: jnp.asarray(z[f"cloud_{k}"]) for k in _CLOUD_FIELDS})
+        fields = {k: jnp.asarray(z[k]) for k in _MODEL_FIELDS}
+        return CompiledModel(cloud=cloud, margin=int(z["margin"]), **fields)
