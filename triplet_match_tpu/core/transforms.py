@@ -1,0 +1,114 @@
+"""Rigid-transform math: pair-frame alignment and weighted Kabsch/umeyama.
+
+Batched (vmap-friendly) equivalents of:
+* ``scene::base_transform_`` (/root/reference/include/impl/scene.hpp:538-567)
+  — the 2-point + 1-tangent frame alignment that turns a (scene pair, model
+  pair) correspondence into a rigid pose hypothesis.
+* ``Eigen::umeyama(src, dst, false)`` (used at impl/scene.hpp:393) — the
+  ICP least-squares rigid fit, here as weighted Kabsch so masked dense
+  correspondence arrays work under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(v, eps=1e-12):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def base_transform(src_i, src_j, src_t, tgt_i, tgt_j, tgt_t) -> jax.Array:
+    """Rigid transform aligning the source pair frame to the target pair frame.
+
+    All inputs [..., 3]; returns [..., 4, 4].  Frames are built exactly like
+    the reference (impl/scene.hpp:547-564): u = normalized pair direction,
+    v = tangent Gram-Schmidt-orthogonalized against u, w = u x v.  The frame
+    matrix is orthonormal so its inverse is its transpose.
+    """
+    u_a = _normalize(src_j - src_i)
+    u_b = _normalize(tgt_j - tgt_i)
+    v_a = _normalize(src_t - jnp.sum(src_t * u_a, -1, keepdims=True) * u_a)
+    v_b = _normalize(tgt_t - jnp.sum(tgt_t * u_b, -1, keepdims=True) * u_b)
+    w_a = _normalize(jnp.cross(u_a, v_a))
+    w_b = _normalize(jnp.cross(u_b, v_b))
+
+    base_a = jnp.stack([u_a, v_a, w_a], axis=-1)  # columns
+    base_b = jnp.stack([u_b, v_b, w_b], axis=-1)
+    r = base_b @ jnp.swapaxes(base_a, -1, -2)
+    t = tgt_i - jnp.einsum("...ij,...j->...i", r, src_i)
+
+    out = jnp.zeros(r.shape[:-2] + (4, 4), r.dtype)
+    out = out.at[..., :3, :3].set(r)
+    out = out.at[..., :3, 3].set(t)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def weighted_kabsch(src, dst, w) -> jax.Array:
+    """Least-squares rigid transform mapping src -> dst under weights.
+
+    Semantics of ``Eigen::umeyama(src, dst, with_scaling=false)``
+    (impl/scene.hpp:393): minimizes sum_i w_i ||dst_i - (R src_i + t)||^2
+    with det(R) = +1 enforced via the SVD sign correction.
+
+    Args:
+      src, dst: [..., N, 3]; w: [..., N] nonnegative weights (mask).
+    Returns:
+      [..., 4, 4].  Degenerate inputs (all-zero weights) return identity.
+    """
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    wn = w / wsum
+    mu_s = jnp.einsum("...n,...nd->...d", wn, src)
+    mu_d = jnp.einsum("...n,...nd->...d", wn, dst)
+    ds = src - mu_s[..., None, :]
+    dd = dst - mu_d[..., None, :]
+    sigma = jnp.einsum("...n,...nd,...ne->...de", wn, dd, ds)  # cov(dst, src)
+
+    u, s, vt = jnp.linalg.svd(sigma)
+    det = jnp.linalg.det(u @ vt)
+    fix = jnp.ones(sigma.shape[:-2] + (3,), sigma.dtype).at[..., 2].set(jnp.sign(det))
+    r = u @ (fix[..., :, None] * vt)
+    t = mu_d - jnp.einsum("...ij,...j->...i", r, mu_s)
+
+    degenerate = jnp.sum(w, axis=-1) <= 1e-12
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), r.shape)
+    r = jnp.where(degenerate[..., None, None], eye, r)
+    t = jnp.where(degenerate[..., None], 0.0, t)
+
+    out = jnp.zeros(r.shape[:-2] + (4, 4), r.dtype)
+    out = out.at[..., :3, :3].set(r)
+    out = out.at[..., :3, 3].set(t)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def transform_points(t: jax.Array, pts: jax.Array) -> jax.Array:
+    """Apply [..., 4, 4] to [..., N, 3]."""
+    return jnp.einsum("...ij,...nj->...ni", t[..., :3, :3], pts) + t[..., None, :3, 3]
+
+
+def invert_rigid(t: jax.Array) -> jax.Array:
+    """Inverse of a rigid [..., 4, 4] (R^T, -R^T t)."""
+    r = t[..., :3, :3]
+    rt = jnp.swapaxes(r, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", rt, t[..., :3, 3])
+    out = jnp.zeros_like(t)
+    out = out.at[..., :3, :3].set(rt)
+    out = out.at[..., :3, 3].set(ti)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def rotation_angle(r: jax.Array) -> jax.Array:
+    """Rotation angle (radians) of [..., 3, 3] rotation matrices."""
+    tr = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
+    c = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.arccos(c)
+
+
+def pose_delta(t_a: jax.Array, t_b: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(translation delta, rotation delta radians) between two rigid poses."""
+    d = invert_rigid(t_a) @ t_b
+    return jnp.linalg.norm(d[..., :3, 3], axis=-1), rotation_angle(d[..., :3, :3])

@@ -1,0 +1,73 @@
+"""Batched correspondence-ICP refinement.
+
+Mirrors ``scene::icp_`` (/root/reference/include/impl/scene.hpp:369-404):
+score the pose over all scene points at a relaxed threshold (2 x dist_thres),
+fit a rigid transform to the correspondences with umeyama (no scale), rescore,
+and iterate while the correspondence count does not shrink (up to
+max_iterations).  Fewer than 3 correspondences stops immediately.
+
+The reference refines one candidate at a time on the host; here candidates
+refine in parallel (vmap) with a ``lax.while_loop``, and the correspondence
+fit is a weighted Kabsch over dense masked arrays.  This subsumes the
+OpenCL ``icp_projection``/``icp_correlation`` kernels (opencl/icp.cl:1-86).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from triplet_match_tpu.core.transforms import weighted_kabsch
+from triplet_match_tpu.index.model import CompiledModel
+from triplet_match_tpu.search.score import DenseCorrs, finish_find
+
+
+class IcpResult(NamedTuple):
+    transform: jax.Array  # [4, 4] scene->model
+    corrs: DenseCorrs
+    iterations: jax.Array  # int32
+
+
+def icp_refine(
+    model: CompiledModel,
+    scene,
+    tangent_mask: jax.Array,
+    consumed: jax.Array,
+    t0: jax.Array,
+    dist_thres,
+    max_iterations: int,
+) -> IcpResult:
+    """Refine a single pose (use vmap for a batch)."""
+    relaxed = 2.0 * dist_thres  # impl/scene.hpp:373,395
+    best = finish_find(model, scene, tangent_mask, consumed, t0, relaxed)
+    if max_iterations == 0:
+        return IcpResult(t0, best, jnp.int32(0))
+
+    def cond(state):
+        t_best, corrs, it, done = state
+        return ~done & (it < max_iterations)
+
+    def body(state):
+        t_best, corrs, it, _ = state
+        w = corrs.valid.astype(jnp.float32)
+        t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
+        proj = finish_find(model, scene, tangent_mask, consumed, t_new, relaxed)
+        improved = proj.count >= corrs.count  # strict shrink stops (impl/scene.hpp:396)
+        t_next = jnp.where(improved, t_new, t_best)
+        corrs_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(improved, (1,) * a.ndim) if a.ndim else improved, a, b
+            ),
+            proj,
+            corrs,
+        )
+        return (t_next, corrs_next, it + 1, ~improved)
+
+    too_few = best.count < 3  # impl/scene.hpp:381
+    t_fin, corrs_fin, iters, _ = lax.while_loop(
+        cond, body, (t0, best, jnp.int32(0), too_few)
+    )
+    return IcpResult(t_fin, corrs_fin, iters)

@@ -1,0 +1,319 @@
+"""Multi-instance search driver (``find_all_parallel`` analog).
+
+Mirrors the control flow of /root/reference/include/impl/scene.hpp:39-240:
+
+  prepare scene (curvature -> edge mask)                 impl/scene.hpp:41-58
+  WHILE matches found:                                   impl/scene.hpp:70-95
+    sample first/second pairs, query model,              impl/scene.hpp:242-353
+    pose hypotheses (base_transform) + force_up gate,    impl/scene.hpp:315-319
+    score hypotheses (project_),                         impl/scene.hpp:326
+    promote finalists -> finish_find -> ICP,             impl/scene.hpp:361-366,171
+    sort by corr count, greedy non-overlap acceptance,   impl/scene.hpp:193-237
+    mask accepted scene points.                          impl/scene.hpp:87-93
+
+The reference fans the outer loop across ``std::async`` threads with
+mutex-guarded masks; here each round is ONE jitted program over a hypothesis
+batch ([B1, B2, Q] poses scored at once), and the only sequential state is
+the deterministic mask update between rounds.  Early-out / early-drop
+(impl/scene.hpp:330-347, 492-506) are subsumed by exhaustive batched scoring
++ top-k, which is the TPU-shaped equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triplet_match_tpu.config import (
+    DEFAULT_DISCRETIZATION,
+    DEFAULT_POLICY,
+    DEFAULT_SAMPLE_PARAMS,
+    DiscretizationParams,
+    SampleParams,
+    SearchPolicy,
+)
+from triplet_match_tpu.core import cloud as cl
+from triplet_match_tpu.core.transforms import base_transform, invert_rigid
+from triplet_match_tpu.features import pairfeat as pf
+from triplet_match_tpu.index.model import CompiledModel, query_pairs
+from triplet_match_tpu.ops.curvature import edge_mask as edge_mask_op
+from triplet_match_tpu.ops.curvature import principal_curvatures
+from triplet_match_tpu.ops.knn import radius_neighbors
+from triplet_match_tpu.refine.icp import icp_refine
+from triplet_match_tpu.search.sampling import sample_firsts, sample_seconds
+from triplet_match_tpu.search.score import _score_points, normalize_score
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cloud", "tangent_mask", "n_edge"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ScenePrep:
+    """Per-scene preprocessing (impl/scene.hpp:41-58)."""
+
+    cloud: cl.PointCloud
+    tangent_mask: jax.Array  # [N] bool — edge points
+    n_edge: jax.Array
+
+
+def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY) -> ScenePrep:
+    cloud = cl.finite_filter(cloud)
+    curv = principal_curvatures(cloud, k=policy.curvature_k)
+    tm = edge_mask_op(
+        cloud,
+        curv,
+        tangent_norm_threshold=policy.tangent_norm_threshold,
+        curvature_ratio_threshold=policy.curvature_ratio_threshold,
+    )
+    return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
+
+
+class RoundResult(NamedTuple):
+    transform: jax.Array  # [F, 4, 4] scene->model (pre-inversion)
+    accept: jax.Array  # [F] bool
+    new_corr: jax.Array  # [F, N] bool — newly claimed scene corrs (isres)
+    model_idx: jax.Array  # [F, N] int32
+    count: jax.Array  # [F] int32 total corrs from ICP finish_find
+    score: jax.Array  # [F] float32 signed score (unnormalized)
+    hypotheses_scored: jax.Array  # int32 diagnostics
+
+
+def search_round(
+    model: CompiledModel,
+    prep: ScenePrep,
+    consumed: jax.Array,
+    fp_mask: jax.Array,
+    key: jax.Array,
+    dist_thres,
+    model_match_factor,
+    *,
+    discretization: DiscretizationParams,
+    sample_params: SampleParams,
+    policy: SearchPolicy,
+    max_icp_iterations: int,
+):
+    """One jitted search round.  Returns (RoundResult, consumed', fp')."""
+    cloud = prep.cloud
+    n = cloud.xyz.shape[0]
+    b1, b2 = policy.num_first_samples, policy.num_second_samples
+    qcap = policy.query_cap
+    ks = policy.score_neighbors
+    fin = policy.finalists
+
+    lower = model.diameter * sample_params.min_diameter_factor
+    upper = model.diameter * sample_params.max_diameter_factor
+    thres = jnp.float32(dist_thres) * model.resolution
+
+    k1, k2 = jax.random.split(key)
+
+    # --- sampling (impl/scene.hpp:131-166, 266-297) ---
+    eligible_first = prep.tangent_mask & ~consumed & ~fp_mask & cloud.valid
+    firsts = sample_firsts(k1, eligible_first, b1)
+    nbr_idx, nbr_in_r = radius_neighbors(
+        cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks, block=min(b1, 256)
+    )
+    second_eligible = prep.tangent_mask & ~consumed & cloud.valid
+    seconds = sample_seconds(k2, firsts, nbr_idx, nbr_in_r, second_eligible, b2)
+
+    p0 = cloud.xyz[firsts.idx][:, None, :]  # [B1, 1, 3]
+    t0 = cloud.tangent[firsts.idx][:, None, :]
+    p1 = cloud.xyz[seconds.idx]  # [B1, B2, 3]
+    t1 = cloud.tangent[seconds.idx]
+
+    gates = pf.pair_gates(p0, p1, t0, lower, upper, policy.pair_parallel_epsilon)
+    feats = pf.pair_feature(p0, p1, t0, t1)  # [B1, B2, 4]
+    fval = pf.feature_valid(feats, model.bounds_min, model.bounds_max)
+    pair_ok = seconds.valid & gates & fval
+
+    # --- model query -> hypotheses (impl/scene.hpp:304-319) ---
+    mpairs, mvalid = query_pairs(model, feats, discretization, qcap)  # [B1,B2,Q,2]
+    m_i, m_j = mpairs[..., 0], mpairs[..., 1]
+    hyp_ok = pair_ok[..., None] & mvalid
+
+    ts = base_transform(
+        jnp.broadcast_to(p0[:, :, None, :], (b1, b2, qcap, 3)),
+        jnp.broadcast_to(p1[:, :, None, :], (b1, b2, qcap, 3)),
+        jnp.broadcast_to(t0[:, :, None, :], (b1, b2, qcap, 3)),
+        model.cloud.xyz[m_i],
+        model.cloud.xyz[m_j],
+        model.cloud.tangent[m_i],
+    )  # [B1, B2, Q, 4, 4]
+    if sample_params.force_up:
+        hyp_ok = hyp_ok & (jnp.abs(1.0 - ts[..., 2, 2]) <= 0.01)
+
+    # --- batched project_ scoring, one first-neighborhood at a time ---
+    def per_first(args):
+        ts_b, ok_b, nbrs, nbr_ok = args  # [B2*Q,4,4], [B2*Q], [Ks], [Ks]
+        idx = jnp.broadcast_to(nbrs[None, :], (b2 * qcap, ks))
+        iv = jnp.broadcast_to(nbr_ok[None, :], (b2 * qcap, ks))
+        s, c, _, _ = _score_points(
+            model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres
+        )
+        return jnp.where(ok_b, s, -1.0), jnp.where(ok_b, c, 0)
+
+    scores, counts = jax.lax.map(
+        per_first,
+        (
+            ts.reshape(b1, b2 * qcap, 4, 4),
+            hyp_ok.reshape(b1, b2 * qcap),
+            nbr_idx,
+            nbr_in_r,
+        ),
+    )
+    scores = scores.reshape(-1)
+    ts_flat = ts.reshape(-1, 4, 4)
+
+    # --- finalists -> ICP (impl/scene.hpp:361-366, 171) ---
+    _, best = jax.lax.top_k(scores, fin)
+    t_best = ts_flat[best]
+    icp = jax.vmap(
+        lambda t: icp_refine(
+            model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations
+        )
+    )(t_best)
+    t_fin = icp.transform
+    corr_valid = icp.corrs.valid  # [F, N]
+    corr_midx = icp.corrs.model_idx
+    fin_counts = icp.corrs.count
+    fin_scores = icp.corrs.score
+
+    # --- greedy acceptance (impl/scene.hpp:193-237) ---
+    order = jnp.argsort(-fin_counts)
+    min_pts = jnp.floor(model_match_factor * model.n_edge.astype(jnp.float32)).astype(jnp.int32)
+    min_pts_all = jnp.floor(model_match_factor * model.n_all.astype(jnp.float32)).astype(jnp.int32)
+
+    def accept_step(used, f):
+        cv = corr_valid[f]
+        new = cv & ~used
+        score_t = jnp.sum((new & prep.tangent_mask).astype(jnp.int32))
+        score_all = jnp.sum(new.astype(jnp.int32))
+        ok = (score_t >= min_pts) & (score_all >= min_pts_all)
+        used = jnp.where(ok, used | cv, used)
+        return used, (ok, new)
+
+    _, (acc_ord, new_ord) = jax.lax.scan(accept_step, consumed, order)
+    # un-permute back to finalist order
+    inv_order = jnp.argsort(order)
+    accept = acc_ord[inv_order]
+    new_corr = new_ord[inv_order]
+
+    consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
+    fp_next = fp_mask.at[firsts.idx].set(fp_mask[firsts.idx] | firsts.valid)
+
+    result = RoundResult(
+        transform=t_fin,
+        accept=accept,
+        new_corr=new_corr,
+        model_idx=corr_midx,
+        count=fin_counts,
+        score=fin_scores,
+        hypotheses_scored=jnp.sum(hyp_ok.astype(jnp.int32)),
+    )
+    return result, consumed_next, fp_next
+
+
+@dataclasses.dataclass
+class Match:
+    """Accepted match (``match_t``, /root/reference/include/scene:23-28).
+
+    ``transform`` maps model -> scene (the reference inverts before returning,
+    impl/scene.hpp:92).
+    """
+
+    transform: np.ndarray  # [4,4] model -> scene
+    scene_corrs: np.ndarray  # [K] scene point indices (newly claimed)
+    model_corrs: np.ndarray  # [K] model point indices
+    signed_score: float  # normalized signed score (score / model size)
+
+
+def find_all(
+    model: CompiledModel,
+    scene_cloud: cl.PointCloud,
+    *,
+    dist_thres: float = 3.0,
+    model_match_factor: float = 0.4,
+    early_out_factor: float = 0.9,
+    sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
+    discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
+    policy: SearchPolicy = DEFAULT_POLICY,
+    max_icp_iterations: int = 10,
+    seed: int = 13,
+    prep: ScenePrep | None = None,
+) -> list[Match]:
+    """Find all model instances in the scene.
+
+    API analog of ``scene::find_all_parallel``
+    (/root/reference/include/scene:47-48).  ``early_out_factor`` is accepted
+    for signature parity; batched scoring replaces early-out so it has no
+    effect (in the reference the normalized score can never reach the
+    count-scaled threshold either — the gate is vestigial, impl/scene.hpp:341).
+    Deterministic for a fixed seed (the reference is clock-seeded).
+    """
+    if prep is None:
+        prep = prepare_scene(scene_cloud, policy)
+
+    round_fn = jax.jit(
+        partial(
+            search_round,
+            discretization=discretization,
+            sample_params=sample_params,
+            policy=policy,
+            max_icp_iterations=max_icp_iterations,
+        )
+    )
+
+    n = prep.cloud.xyz.shape[0]
+    consumed = jnp.zeros(n, bool)
+    fp = jnp.zeros(n, bool)
+    base_key = jax.random.PRNGKey(seed)
+
+    matches: list[Match] = []
+    for rnd in range(policy.max_rounds):
+        key = jax.random.fold_in(base_key, rnd)
+        res, consumed, fp = round_fn(
+            model, prep, consumed, fp, key, jnp.float32(dist_thres), jnp.float32(model_match_factor)
+        )
+        accept = np.asarray(res.accept)
+        if not accept.any():
+            break
+        order = np.argsort(-np.asarray(res.count))
+        for f in order:
+            if not accept[f]:
+                continue
+            t_inv = np.asarray(invert_rigid(res.transform[f]))
+            new = np.asarray(res.new_corr[f])
+            sidx = np.where(new)[0].astype(np.int32)
+            midx = np.asarray(res.model_idx[f])[sidx]
+            matches.append(
+                Match(
+                    transform=t_inv,
+                    scene_corrs=sidx,
+                    model_corrs=midx,
+                    signed_score=float(np.asarray(normalize_score(model, res.score[f]))),
+                )
+            )
+            if len(matches) >= policy.max_instances:
+                return matches
+    return matches
+
+
+def instantiate(model: CompiledModel, match: Match, instantiate_all: bool = True) -> np.ndarray:
+    """Place the model into the scene under a match transform.
+
+    Analog of ``scene::instantiate`` (impl/scene.hpp:512-531).  The reference
+    default returns an EMPTY cloud because it reads a locally-empty corr list
+    unless instantiate_all=true (a vestigial bug, SURVEY §3.3); we default to
+    the useful behavior and honor instantiate_all=False by using the match's
+    model corrs.
+    """
+    xyz = np.asarray(model.cloud.xyz)
+    idx = np.arange(xyz.shape[0]) if instantiate_all else match.model_corrs
+    pts = xyz[idx]
+    return pts @ match.transform[:3, :3].T + match.transform[:3, 3]
