@@ -1,0 +1,90 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import pose_delta
+from triplet_match_tpu.index.model import compile_model
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+from triplet_match_tpu.parallel.mesh import make_mesh
+from triplet_match_tpu.parallel.search import finish_find_sp, search_round_dp
+from triplet_match_tpu.search.driver import prepare_scene
+from triplet_match_tpu.search.score import finish_find
+
+
+POLICY = SearchPolicy(
+    num_first_samples=16, num_second_samples=8, query_cap=8,
+    score_neighbors=128, finalists=2, max_rounds=2,
+)
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+    xyz, nrm, tan = make_box_model(n_edge=180, n_face=540, size=(1.0, 0.8, 0.6), seed=0)
+    model_cloud = PointCloud.from_arrays(xyz, nrm, tan)
+    model = compile_model(model_cloud, DISC, SAMPLE, POLICY, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=328, seed=7, capacity=1048  # 1048 = 8 * 131
+    )
+    prep = prepare_scene(scene, POLICY)
+    return model, prep, t_gt
+
+
+def test_finish_find_sp_matches_single_chip(setup):
+    model, prep, t_gt = setup
+    mesh = make_mesh(8)
+    t = jnp.asarray(np.linalg.inv(np.asarray(t_gt)).astype(np.float32))
+    n = prep.cloud.xyz.shape[0]
+    consumed = jnp.zeros(n, bool)
+
+    ref = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t, 3.0)
+    got = finish_find_sp(mesh, model, prep.cloud, prep.tangent_mask, consumed, t, 3.0)
+
+    assert int(got.count) == int(ref.count)
+    np.testing.assert_allclose(float(got.score), float(ref.score), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    # model_idx only meaningful where valid
+    v = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(got.model_idx)[v], np.asarray(ref.model_idx)[v])
+
+
+def test_search_round_dp_finds_pose(setup):
+    model, prep, t_gt = setup
+    mesh = make_mesh(8)
+    n = prep.cloud.xyz.shape[0]
+    consumed = jnp.zeros(n, bool)
+    fp = jnp.zeros(n, bool)
+    key = jax.random.PRNGKey(3)
+
+    from functools import partial
+
+    round_fn = jax.jit(
+        partial(
+            search_round_dp, mesh,
+            discretization=DISC, sample_params=SAMPLE, policy=POLICY,
+            max_icp_iterations=5,
+        ),
+        static_argnames=(),
+    )
+    res, consumed2, fp2 = round_fn(
+        model, prep, consumed, fp, key, jnp.float32(3.0), jnp.float32(0.5)
+    )
+    accept = np.asarray(res.accept)
+    assert accept.any(), "dp round found no match"
+    f = int(np.argmax(np.asarray(res.count) * accept))
+    from triplet_match_tpu.core.transforms import invert_rigid
+
+    t_found = np.asarray(invert_rigid(res.transform[f]))
+    dt, dr = pose_delta(jnp.asarray(t_found), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.5
+    # masks progressed: accepted corrs consumed, sampled firsts marked
+    assert int(consumed2.sum()) > 0
+    assert int(fp2.sum()) >= POLICY.num_first_samples  # 8 chips x 16 firsts, minus overlap

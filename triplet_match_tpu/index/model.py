@@ -187,31 +187,38 @@ def _pair_pass(cloud, edge, bounds, params, lower_bound, upper_bound, parallel_e
         return keys.reshape(-1, n + pad)[: n, :n]
 
 
-def compile_model(
-    cloud: cl.PointCloud,
-    discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
-    sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
-    policy: SearchPolicy = DEFAULT_POLICY,
-    *,
-    margin: int = 5,
-    pair_block: int = 256,
-) -> CompiledModel:
-    """Compile a model cloud into its two query indexes.
-
-    Host-orchestrated analog of ``model::init`` (impl/model.hpp:15-167); the
-    voxel extents and table capacity are concretized on host (they size
-    arrays), all heavy math runs in JAX.
-    """
+@jax.jit
+def _measure(cloud: cl.PointCloud):
     cloud = cl.finite_filter(cloud)
-    res = float(cl.resolution(cloud))
-    lower, upper = (np.asarray(a) for a in cl.bbox(cloud))
-    dia = float(np.linalg.norm(upper - lower))
+    res = cl.resolution(cloud)
+    lower, upper = cl.bbox(cloud)
+    return res, lower, upper
 
-    extents, to_voxel = _voxel_grid_setup(lower, upper, res, margin)
-    inv = np.linalg.inv(to_voxel)
+
+@partial(
+    jax.jit,
+    static_argnames=("extents", "discretization", "policy", "pair_block", "margin"),
+)
+def _build(
+    cloud: cl.PointCloud,
+    to_voxel: jax.Array,
+    res: jax.Array,
+    dia: jax.Array,
+    lower_bound: jax.Array,
+    upper_bound: jax.Array,
+    *,
+    extents: tuple[int, int, int],
+    discretization: DiscretizationParams,
+    policy: SearchPolicy,
+    pair_block: int,
+    margin: int,
+) -> CompiledModel:
+    """One fused compile program: LUT + curvature + edge + pair table."""
+    cloud = cl.finite_filter(cloud)
 
     # --- voxel LUT: nearest model point per voxel center (impl/model.hpp:81-94)
     ex, ey, ez = extents
+    inv = jnp.linalg.inv(to_voxel)
     ii, jj, kk = jnp.meshgrid(
         jnp.arange(ex, dtype=jnp.float32),
         jnp.arange(ey, dtype=jnp.float32),
@@ -219,7 +226,7 @@ def compile_model(
         indexing="ij",
     )
     centers = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
-    centers = centers @ jnp.asarray(inv[:3, :3].T) + jnp.asarray(inv[:3, 3])
+    centers = centers @ inv[:3, :3].T + inv[:3, 3]
     lut_idx, _ = knn_ops.nn1(centers, cloud.xyz, cloud.valid)
     lut = lut_idx.reshape(ex, ey, ez)
 
@@ -233,8 +240,6 @@ def compile_model(
     )
 
     # --- pair passes (impl/model.hpp:100-149)
-    lower_bound = dia * sample_params.min_diameter_factor
-    upper_bound = dia * sample_params.max_diameter_factor
     bmin, bmax, _ = _pair_pass(
         cloud, edge, None, discretization, lower_bound, upper_bound,
         policy.pair_parallel_epsilon, block=pair_block,
@@ -259,9 +264,9 @@ def compile_model(
 
     return CompiledModel(
         cloud=cloud,
-        resolution=jnp.float32(res),
-        diameter=jnp.float32(dia),
-        to_voxel=jnp.asarray(to_voxel),
+        resolution=res,
+        diameter=dia,
+        to_voxel=to_voxel,
         lut=lut,
         edge=edge,
         bounds_min=bmin,
@@ -271,6 +276,43 @@ def compile_model(
         pair_count=pair_count,
         n_edge=jnp.sum(edge.astype(jnp.int32)),
         n_all=cloud.count(),
+        margin=margin,
+    )
+
+
+def compile_model(
+    cloud: cl.PointCloud,
+    discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
+    sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
+    policy: SearchPolicy = DEFAULT_POLICY,
+    *,
+    margin: int = 5,
+    pair_block: int = 256,
+) -> CompiledModel:
+    """Compile a model cloud into its two query indexes.
+
+    Analog of ``model::init`` (impl/model.hpp:15-167) in two jitted stages:
+    a measurement pass (resolution + bbox, pulled to host to size the voxel
+    grid — extents are static array shapes) and one fused build program.
+    """
+    res_d, lower_d, upper_d = _measure(cloud)
+    res = float(res_d)
+    lower, upper = np.asarray(lower_d), np.asarray(upper_d)
+    dia = float(np.linalg.norm(upper - lower))
+
+    extents, to_voxel = _voxel_grid_setup(lower, upper, res, margin)
+
+    return _build(
+        cloud,
+        jnp.asarray(to_voxel),
+        jnp.float32(res),
+        jnp.float32(dia),
+        jnp.float32(dia * sample_params.min_diameter_factor),
+        jnp.float32(dia * sample_params.max_diameter_factor),
+        extents=extents,
+        discretization=discretization,
+        policy=policy,
+        pair_block=pair_block,
         margin=margin,
     )
 
@@ -326,3 +368,39 @@ def voxel_query(model: CompiledModel, pos: jax.Array) -> tuple[jax.Array, jax.Ar
     cl_ijk = jnp.clip(ijk, 0, jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.int32))
     idx = model.lut[cl_ijk[..., 0], cl_ijk[..., 1], cl_ijk[..., 2]]
     return idx, in_bounds
+
+
+def voxel_query_exact(model: CompiledModel, pos: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """LUT-seeded *exact* nearest-model-point lookup.
+
+    The plain LUT returns the nearest model point of the containing voxel's
+    *center*, which quantizes correspondences by ~half a voxel.  This
+    variant gathers the LUT entries of the 2x2x2 voxels surrounding the
+    query position and picks the exact argmin among those candidates —
+    an efficient implementation of the reference's ``naive_corrs`` exact-knn
+    fallback (impl/scene.hpp:446-453) used by the tight ICP polish.
+
+    Returns (index [...], in_bounds [...]).
+    """
+    v = pos @ model.to_voxel[:3, :3].T + model.to_voxel[:3, 3]
+    base = jnp.floor(v - 0.5).astype(jnp.int32)
+    ex, ey, ez = model.lut.shape
+    hi = jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.int32)
+
+    best_d2 = jnp.full(pos.shape[:-1], jnp.inf, jnp.float32)
+    best_idx = jnp.zeros(pos.shape[:-1], jnp.int32)
+    any_inb = jnp.zeros(pos.shape[:-1], bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ijk = base + jnp.asarray([dx, dy, dz], jnp.int32)
+                inb = jnp.all((ijk >= 0) & (ijk <= hi), axis=-1)
+                c = jnp.clip(ijk, 0, hi)
+                idx = model.lut[c[..., 0], c[..., 1], c[..., 2]]
+                d2 = jnp.sum(jnp.square(pos - model.cloud.xyz[idx]), axis=-1)
+                d2 = jnp.where(inb, d2, jnp.inf)
+                take = d2 < best_d2
+                best_d2 = jnp.where(take, d2, best_d2)
+                best_idx = jnp.where(take, idx, best_idx)
+                any_inb = any_inb | inb
+    return best_idx, any_inb

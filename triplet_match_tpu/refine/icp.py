@@ -39,8 +39,18 @@ def icp_refine(
     t0: jax.Array,
     dist_thres,
     max_iterations: int,
+    tight_iterations: int = 2,
 ) -> IcpResult:
-    """Refine a single pose (use vmap for a batch)."""
+    """Refine a single pose (use vmap for a batch).
+
+    After the reference-faithful relaxed loop, ``tight_iterations`` extra
+    Kabsch steps run at the *unrelaxed* threshold.  This is a deliberate
+    improvement over the reference: the 2x gate admits clutter points near
+    the model surface which bias the final pose by several mm; the tight
+    polish removes most of that bias without changing which matches are
+    accepted (correspondences are re-derived at the relaxed threshold at
+    the end, preserving acceptance-count semantics).
+    """
     relaxed = 2.0 * dist_thres  # impl/scene.hpp:373,395
     best = finish_find(model, scene, tangent_mask, consumed, t0, relaxed)
     if max_iterations == 0:
@@ -70,4 +80,21 @@ def icp_refine(
     t_fin, corrs_fin, iters, _ = lax.while_loop(
         cond, body, (t0, best, jnp.int32(0), too_few)
     )
+
+    if tight_iterations > 0:
+
+        def tight_body(_, t):
+            # exact (LUT-seeded) correspondences remove the half-voxel
+            # quantization bias of the plain LUT in the final fit
+            corrs = finish_find(model, scene, tangent_mask, consumed, t, dist_thres, exact=True)
+            w = corrs.valid.astype(jnp.float32)
+            t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
+            return jnp.where(corrs.count >= 3, t_new, t)
+
+        # Unconditional: the relaxed corr count slightly *prefers* the
+        # clutter-biased pose, so count-gating would reject the better fit.
+        # Degenerate (<3 corr) steps are no-ops inside tight_body.
+        t_fin = lax.fori_loop(0, tight_iterations, tight_body, t_fin)
+        corrs_fin = finish_find(model, scene, tangent_mask, consumed, t_fin, relaxed)
+
     return IcpResult(t_fin, corrs_fin, iters)

@@ -63,6 +63,7 @@ class ScenePrep:
     n_edge: jax.Array
 
 
+@partial(jax.jit, static_argnames=("policy",))
 def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY) -> ScenePrep:
     cloud = cl.finite_filter(cloud)
     curv = principal_curvatures(cloud, k=policy.curvature_k)
@@ -85,27 +86,29 @@ class RoundResult(NamedTuple):
     hypotheses_scored: jax.Array  # int32 diagnostics
 
 
-def search_round(
+def hypothesize_and_score(
     model: CompiledModel,
     prep: ScenePrep,
     consumed: jax.Array,
     fp_mask: jax.Array,
     key: jax.Array,
     dist_thres,
-    model_match_factor,
     *,
     discretization: DiscretizationParams,
     sample_params: SampleParams,
     policy: SearchPolicy,
-    max_icp_iterations: int,
 ):
-    """One jitted search round.  Returns (RoundResult, consumed', fp')."""
+    """Sample pairs, query the model, build and score pose hypotheses.
+
+    The per-worker body of the search (the reference's ``find_in_subset``,
+    impl/scene.hpp:242-367).  Returns (ts_flat [H,4,4], scores [H],
+    first_idx [B1], first_valid [B1], n_hypotheses).  Pure function of the
+    PRNG key — the data-parallel path runs it per device with folded keys.
+    """
     cloud = prep.cloud
-    n = cloud.xyz.shape[0]
     b1, b2 = policy.num_first_samples, policy.num_second_samples
     qcap = policy.query_cap
     ks = policy.score_neighbors
-    fin = policy.finalists
 
     lower = model.diameter * sample_params.min_diameter_factor
     upper = model.diameter * sample_params.max_diameter_factor
@@ -169,10 +172,31 @@ def search_round(
     )
     scores = scores.reshape(-1)
     ts_flat = ts.reshape(-1, 4, 4)
+    return ts_flat, scores, firsts.idx, firsts.valid, jnp.sum(hyp_ok.astype(jnp.int32))
 
-    # --- finalists -> ICP (impl/scene.hpp:361-366, 171) ---
-    _, best = jax.lax.top_k(scores, fin)
-    t_best = ts_flat[best]
+
+def finalize_round(
+    model: CompiledModel,
+    prep: ScenePrep,
+    consumed: jax.Array,
+    fp_mask: jax.Array,
+    t_best: jax.Array,
+    first_idx: jax.Array,
+    first_valid: jax.Array,
+    n_hyp,
+    dist_thres,
+    model_match_factor,
+    *,
+    policy: SearchPolicy,
+    max_icp_iterations: int,
+):
+    """ICP-refine finalist poses and run greedy non-overlap acceptance.
+
+    The join half of the round (impl/scene.hpp:168-240).  ``t_best`` is
+    [F, 4, 4] finalist poses (already top-k'ed, possibly gathered across
+    devices).  Returns (RoundResult, consumed', fp').
+    """
+    cloud = prep.cloud
     icp = jax.vmap(
         lambda t: icp_refine(
             model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations
@@ -205,7 +229,7 @@ def search_round(
     new_corr = new_ord[inv_order]
 
     consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
-    fp_next = fp_mask.at[firsts.idx].set(fp_mask[firsts.idx] | firsts.valid)
+    fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
 
     result = RoundResult(
         transform=t_fin,
@@ -214,9 +238,37 @@ def search_round(
         model_idx=corr_midx,
         count=fin_counts,
         score=fin_scores,
-        hypotheses_scored=jnp.sum(hyp_ok.astype(jnp.int32)),
+        hypotheses_scored=n_hyp,
     )
     return result, consumed_next, fp_next
+
+
+def search_round(
+    model: CompiledModel,
+    prep: ScenePrep,
+    consumed: jax.Array,
+    fp_mask: jax.Array,
+    key: jax.Array,
+    dist_thres,
+    model_match_factor,
+    *,
+    discretization: DiscretizationParams,
+    sample_params: SampleParams,
+    policy: SearchPolicy,
+    max_icp_iterations: int,
+):
+    """One jitted single-chip search round.  Returns (RoundResult, consumed', fp')."""
+    ts_flat, scores, first_idx, first_valid, n_hyp = hypothesize_and_score(
+        model, prep, consumed, fp_mask, key, dist_thres,
+        discretization=discretization, sample_params=sample_params, policy=policy,
+    )
+    _, best = jax.lax.top_k(scores, policy.finalists)
+    t_best = ts_flat[best]
+    return finalize_round(
+        model, prep, consumed, fp_mask, t_best, first_idx, first_valid, n_hyp,
+        dist_thres, model_match_factor,
+        policy=policy, max_icp_iterations=max_icp_iterations,
+    )
 
 
 @dataclasses.dataclass

@@ -54,17 +54,22 @@ def sample_seconds(
 
     nbr_idx/nbr_in_radius: [B1, K] neighborhood of each first point.
     second_eligible: [N] bool (edge & unconsumed & valid).
-    Draws are with replacement; invalid draws are masked, mirroring the
-    reference's skip-and-continue gates (impl/scene.hpp:290).
+
+    The reference walks a *shuffled* neighborhood and skips ineligible
+    points (impl/scene.hpp:284-290) — i.e. it takes distinct uniform draws
+    from the eligible subset.  Gumbel top-B2 over eligible slots is the
+    batched equivalent (distinct, uniform over eligible, no wasted draws).
     """
     b1, k = nbr_idx.shape
-    slots = jax.random.randint(key, (b1, b2), 0, k)
+    eligible = (
+        nbr_in_radius
+        & second_eligible[nbr_idx]
+        & (nbr_idx != firsts.idx[:, None])
+        & firsts.valid[:, None]
+    )  # [B1, K]
+    g = jax.random.gumbel(key, (b1, k))
+    scores = jnp.where(eligible, g, -jnp.inf)
+    top, slots = jax.lax.top_k(scores, b2)  # [B1, B2]
     idx = jnp.take_along_axis(nbr_idx, slots, axis=1)
-    in_r = jnp.take_along_axis(nbr_in_radius, slots, axis=1)
-    valid = (
-        firsts.valid[:, None]
-        & in_r
-        & second_eligible[idx]
-        & (idx != firsts.idx[:, None])
-    )
+    valid = jnp.take_along_axis(eligible, slots, axis=1) & jnp.isfinite(top)
     return SecondSamples(idx, valid)

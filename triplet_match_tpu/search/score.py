@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from triplet_match_tpu.index.model import CompiledModel, voxel_query
+from triplet_match_tpu.index.model import CompiledModel, voxel_query, voxel_query_exact
 
 
 class ScoreResult(NamedTuple):
@@ -34,7 +34,7 @@ class ScoreResult(NamedTuple):
 
 
 def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
-                  ts, idx, idx_valid, thres):
+                  ts, idx, idx_valid, thres, exact: bool = False):
     """Score gathered scene points under poses.
 
     ts: [..., 4, 4]; idx/idx_valid: [..., K]; returns per-point contribution
@@ -44,7 +44,10 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
     pos = scene.xyz[idx]  # [..., K, 3]
     tpos = jnp.einsum("...ij,...kj->...ki", r, pos) + ts[..., None, :3, 3]
 
-    midx, inb = voxel_query(model, tpos)  # [..., K]
+    if exact:
+        midx, inb = voxel_query_exact(model, tpos)  # [..., K]
+    else:
+        midx, inb = voxel_query(model, tpos)  # [..., K]
     mpos = model.cloud.xyz[midx]
     dist = jnp.linalg.norm(tpos - mpos, axis=-1)
 
@@ -131,17 +134,19 @@ class DenseCorrs(NamedTuple):
     count: jax.Array  # scalar int32
 
 
-def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thres) -> DenseCorrs:
+def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thres,
+                exact: bool = False) -> DenseCorrs:
     """Score one pose against ALL scene points -> dense correspondences.
 
     Analog of ``scene::finish_find`` (impl/scene.hpp:100-106): project_ over
-    the full cloud, no early-out.
+    the full cloud, no early-out.  ``exact=True`` switches correspondences
+    to LUT-seeded exact nearest neighbors (the ``naive_corrs`` analog).
     """
     thres = jnp.float32(dist_thres) * model.resolution
     n = scene.xyz.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     score, count, ok, midx = _score_points(
-        model, scene, tangent_mask, consumed, t, idx, jnp.ones(n, bool), thres
+        model, scene, tangent_mask, consumed, t, idx, jnp.ones(n, bool), thres, exact=exact
     )
     return DenseCorrs(model_idx=midx.astype(jnp.int32), valid=ok, score=score, count=count)
 
@@ -149,3 +154,16 @@ def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thr
 def normalize_score(model: CompiledModel, score):
     """score / model cloud size (impl/scene.hpp:406-409)."""
     return score / jnp.maximum(model.n_all.astype(jnp.float32), 1.0)
+
+
+def get_bench_scorer(*, chunk: int = 8192):
+    """Jitted scoring step used by bench.py and the Pallas parity tests."""
+
+    @jax.jit
+    def step(model, cloud, tangent_mask, consumed, ts, nbr_idx, nbr_valid, dist_thres):
+        return score_hypotheses(
+            model, cloud, tangent_mask, consumed, ts, nbr_idx, nbr_valid,
+            dist_thres, chunk=chunk,
+        )
+
+    return step
