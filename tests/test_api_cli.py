@@ -1,0 +1,107 @@
+"""Tests for the OO API façade and the CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from triplet_match_tpu.api import Model, Scene
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import pose_delta
+from triplet_match_tpu.features.pairfeat import pair_feature
+from triplet_match_tpu.io.pcd import write_pcd
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+
+POLICY = SearchPolicy(
+    num_first_samples=48, num_second_samples=16, query_cap=8,
+    score_neighbors=256, finalists=4, max_rounds=3,
+)
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+@pytest.fixture(scope="module")
+def data():
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=400, seed=11)
+    return xyz, nrm, tan, scene, t_gt
+
+
+def test_api_end_to_end(data):
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    assert model.pair_count() > 0  # real value, unlike the reference
+    assert model.point_count() > 0
+    assert model.margin() == 5
+    ex = model.extents()
+    assert len(ex) == 3 and all(e > 0 for e in ex)
+
+    # query with a known model pair's feature returns that pair
+    comp = model.compiled
+    i, j = (int(v) for v in np.asarray(comp.pairs[0]))
+    f = pair_feature(comp.cloud.xyz[i], comp.cloud.xyz[j],
+                     comp.cloud.tangent[i], comp.cloud.tangent[j])
+    pairs = model.query(np.asarray(f))
+    assert (i, j) in {tuple(p) for p in pairs}
+
+    # voxel query near a model point hits; far away misses
+    assert model.voxel_query(np.asarray(comp.cloud.xyz[0])) is not None
+    assert model.voxel_query(np.array([50.0, 50, 50], np.float32)) is None
+
+    scene = Scene(scene_cloud, POLICY)
+    matches = scene.find_all_parallel(model, dist_thres=3.0, model_match_factor=0.5,
+                                      sample_params=SAMPLE, seed=13)
+    assert matches
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.6
+    assert scene.statistics.matches_accepted == len(matches)
+    assert scene.statistics.rounds >= 1
+    assert scene.statistics.hypotheses_scored > 0
+
+    inst = scene.instantiate(model, matches[0])
+    assert inst.shape == (xyz.shape[0], 3)
+
+
+def test_api_save_load(tmp_path, data):
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    p = str(tmp_path / "m.npz")
+    model.save(p)
+    m2 = Model.load(p, DISC, POLICY)
+    assert m2.pair_count() == model.pair_count()
+    assert m2.diameter() == pytest.approx(model.diameter())
+
+
+def test_api_uninitialized_model_raises(data):
+    xyz, nrm, tan, *_ = data
+    m = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY)
+    with pytest.raises(RuntimeError, match="uninitialized"):
+        m.query(np.zeros(4, np.float32))
+
+
+def test_cli_end_to_end(tmp_path, data):
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    mp = str(tmp_path / "model.pcd")
+    sp = str(tmp_path / "scene.pcd")
+    write_pcd(mp, xyz, nrm, tan)
+    sv = np.asarray(scene_cloud.valid)
+    write_pcd(sp, np.asarray(scene_cloud.xyz)[sv], np.asarray(scene_cloud.normal)[sv],
+              np.asarray(scene_cloud.tangent)[sv])
+    out = str(tmp_path / "matches.json")
+    res = subprocess.run(
+        [sys.executable, "-m", "triplet_match_tpu.cli.match", mp, sp,
+         "--cpu", "--quiet", "--model-match-factor", "0.5",
+         "--out", out, "--save-model", str(tmp_path / "m.npz")],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(open(out).read())
+    assert payload["matches"], payload
+    t = np.asarray(payload["matches"][0]["transform"], np.float32)
+    dt, dr = pose_delta(jnp.asarray(t), jnp.asarray(t_gt))
+    assert float(dt) < 8e-3
+    assert (tmp_path / "m.npz").exists()

@@ -1,0 +1,126 @@
+"""Pallas scorer parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.index.model import compile_model
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+from triplet_match_tpu.search.driver import prepare_scene
+from triplet_match_tpu.search.score_pallas import (
+    pack_groups,
+    pack_model,
+    poses_to_rows,
+    score_groups_exact_jnp,
+    score_groups_pallas,
+)
+
+POLICY = SearchPolicy()
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    model_cloud = PointCloud.from_arrays(xyz, nrm, tan)
+    model = compile_model(model_cloud, DISC, SAMPLE, POLICY, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    prep = prepare_scene(scene, POLICY)
+
+    g, hg, k = 2, 8, 128
+    rng = np.random.default_rng(3)
+    n = prep.cloud.xyz.shape[0]
+    nbr_idx = rng.integers(0, n, (g, k)).astype(np.int32)
+    nbr_valid = rng.random((g, k)) > 0.1
+
+    t_inv = np.linalg.inv(np.asarray(t_gt)).astype(np.float32)
+    ts = np.tile(t_inv, (g, hg, 1, 1))
+    # mix of near-true poses and junk
+    ts[:, : hg // 2, :3, 3] += rng.normal(0, 0.002, (g, hg // 2, 3)).astype(np.float32)
+    ts[:, hg // 2 :, :3, 3] += rng.normal(0, 1.0, (g, hg - hg // 2, 3)).astype(np.float32)
+
+    consumed = jnp.zeros(n, bool)
+    return model, prep, jnp.asarray(ts), jnp.asarray(nbr_idx), jnp.asarray(nbr_valid), consumed
+
+
+def test_pallas_matches_jnp_exact(setup):
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+
+    s_pl, c_pl = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="full", pose_tile=4, interpret=True
+    )
+    s_ref, c_ref = score_groups_exact_jnp(
+        model, scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid, ts, 3.0
+    )
+    np.testing.assert_array_equal(np.asarray(c_pl), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_count_mode(setup):
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    s_cnt, c_cnt = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4, interpret=True
+    )
+    _, c_ref = score_groups_exact_jnp(
+        model, scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid, ts, 3.0
+    )
+    np.testing.assert_array_equal(np.asarray(c_cnt), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(s_cnt), np.asarray(c_cnt).astype(np.float32))
+
+
+def test_find_all_with_pallas_scorer(setup):
+    """The integrated driver path (scorer='pallas', interpret mode on CPU)
+    recovers the same pose as the jnp scorer path."""
+    import dataclasses
+
+    from triplet_match_tpu.core.transforms import pose_delta
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.search.driver import find_all
+
+    model, prep, *_ = setup
+    policy = dataclasses.replace(
+        POLICY,
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=128, finalists=2, max_rounds=2,
+        scorer="pallas", pallas_interpret=True,
+    )
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    matches = find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert matches
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.6
+
+
+def test_true_pose_scores_higher_than_junk(setup):
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    _, c = score_groups_pallas(
+        mpack, groups, poses_to_rows(ts), thres2, mode="count", pose_tile=4, interpret=True
+    )
+    c = np.asarray(c)
+    hg = c.shape[1]
+    assert c[:, : hg // 2].min() > c[:, hg // 2 :].max()

@@ -1,0 +1,194 @@
+"""Public object API mirroring the reference's ``model``/``scene`` classes.
+
+Thin OO façade over the functional core so a reference user finds the same
+surface (/root/reference/include/model:31-61, include/scene:36-53):
+
+    m = Model(cloud, DiscretizationParams(...))
+    m.init(SampleParams(...))                    # model::init
+    s = Scene(scene_cloud)
+    matches = s.find_all_parallel(m, dist_thres, model_match_factor,
+                                  early_out_factor, sample_params, max_icp)
+    inst = s.instantiate(m, matches[0])
+
+Differences from the reference, all deliberate (SURVEY §7 quirks list):
+  * deterministic under ``seed`` (reference is clock-seeded),
+  * ``pair_count()`` returns the real count (uninitialized upstream,
+    impl/model.hpp:248),
+  * ``instantiate`` defaults to the useful all-points behavior (upstream
+    returns an empty cloud by default, impl/scene.hpp:515-519),
+  * ``statistics`` is actually populated (declared-but-empty upstream,
+    include/scene:31-33).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from triplet_match_tpu.config import (
+    DEFAULT_DISCRETIZATION,
+    DEFAULT_POLICY,
+    DEFAULT_SAMPLE_PARAMS,
+    DiscretizationParams,
+    SampleParams,
+    SearchPolicy,
+)
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.index import model as model_index
+from triplet_match_tpu.index.serialize import load_model, save_model
+from triplet_match_tpu.search import driver
+
+
+@dataclasses.dataclass
+class Statistics:
+    """Populated search statistics (include/scene:31-33, never filled there)."""
+
+    rejection_rate: float = 0.0
+    rounds: int = 0
+    hypotheses_scored: int = 0
+    matches_accepted: int = 0
+
+
+class Model:
+    """``model<Point>`` analog (include/model:31-61)."""
+
+    def __init__(self, cloud: PointCloud, params: DiscretizationParams = DEFAULT_DISCRETIZATION,
+                 policy: SearchPolicy = DEFAULT_POLICY):
+        self._cloud = cloud
+        self._params = params
+        self._policy = policy
+        self._compiled: model_index.CompiledModel | None = None
+
+    # -- model::init (include/model:35-37); subset via a validity mask
+    def init(self, sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
+             subset: np.ndarray | None = None) -> "Model":
+        cloud = self._cloud
+        if subset is not None:
+            import jax.numpy as jnp
+
+            mask = np.zeros(cloud.capacity, bool)
+            mask[np.asarray(subset)] = True
+            cloud = dataclasses.replace(cloud, valid=cloud.valid & jnp.asarray(mask))
+        self._compiled = model_index.compile_model(
+            cloud, self._params, sample_params, self._policy
+        )
+        return self
+
+    @property
+    def compiled(self) -> model_index.CompiledModel:
+        if self._compiled is None:
+            raise RuntimeError("Cannot query uninitialized model")  # impl/model.hpp:172
+        return self._compiled
+
+    def query(self, feature, cap: int | None = None):
+        """model::query (impl/model.hpp:169-178): pairs for a 4-D feature."""
+        import jax.numpy as jnp
+
+        cap = cap or self._policy.query_cap
+        f = jnp.asarray(feature, jnp.float32)
+        pairs, valid = model_index.query_pairs(self.compiled, f[None, :], self._params, cap)
+        v = np.asarray(valid[0])
+        return np.asarray(pairs[0])[v]
+
+    def voxel_query(self, pos):
+        """model::voxel_query (impl/model.hpp:180-192): index or None."""
+        import jax.numpy as jnp
+
+        idx, ok = model_index.voxel_query(self.compiled, jnp.asarray(pos, jnp.float32)[None, :])
+        return int(idx[0]) if bool(ok[0]) else None
+
+    def diameter(self) -> float:
+        return float(self.compiled.diameter)
+
+    def resolution(self) -> float:
+        return float(self.compiled.resolution)
+
+    def point_count(self) -> int:
+        return int(self.compiled.n_edge)  # subset size, model:point_count semantics
+
+    def pair_count(self) -> int:
+        return int(self.compiled.pair_count)
+
+    def extents(self) -> tuple[int, int, int]:
+        return self.compiled.extents
+
+    def voxel_transform(self) -> np.ndarray:
+        return np.asarray(self.compiled.to_voxel)
+
+    def margin(self) -> int:
+        return self.compiled.margin
+
+    def feature_bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        return np.asarray(self.compiled.bounds_min), np.asarray(self.compiled.bounds_max)
+
+    def cloud(self) -> PointCloud:
+        return self._cloud
+
+    def save(self, path: str):
+        save_model(path, self.compiled)
+
+    @staticmethod
+    def load(path: str, params: DiscretizationParams = DEFAULT_DISCRETIZATION,
+             policy: SearchPolicy = DEFAULT_POLICY) -> "Model":
+        m = Model.__new__(Model)
+        m._params = params
+        m._policy = policy
+        m._compiled = load_model(path)
+        m._cloud = m._compiled.cloud
+        return m
+
+
+class Scene:
+    """``scene<Point>`` analog (include/scene:36-53)."""
+
+    def __init__(self, cloud: PointCloud, policy: SearchPolicy = DEFAULT_POLICY):
+        self._cloud = cloud
+        self._policy = policy
+        self._prep = None
+        self.statistics = Statistics()
+
+    def _prepare(self):
+        if self._prep is None:
+            self._prep = driver.prepare_scene(self._cloud, self._policy)
+        return self._prep
+
+    def find_all_parallel(
+        self,
+        model: Model,
+        dist_thres: float = 3.0,
+        model_match_factor: float = 0.4,
+        early_out_factor: float = 0.9,
+        sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
+        max_icp_iterations: int = 10,
+        seed: int = 13,
+    ) -> list[driver.Match]:
+        """scene::find_all_parallel (include/scene:47-48)."""
+        matches = driver.find_all(
+            model.compiled,
+            self._cloud,
+            dist_thres=dist_thres,
+            model_match_factor=model_match_factor,
+            early_out_factor=early_out_factor,
+            sample_params=sample_params,
+            discretization=model._params,
+            policy=self._policy,
+            max_icp_iterations=max_icp_iterations,
+            seed=seed,
+            prep=self._prepare(),
+        )
+        st = driver.LAST_SEARCH_STATS
+        self.statistics = Statistics(
+            rejection_rate=st.get("rejection_rate", 0.0),
+            rounds=st.get("rounds", 0),
+            hypotheses_scored=st.get("hypotheses_scored", 0),
+            matches_accepted=len(matches),
+        )
+        return matches
+
+    def instantiate(self, model: Model, match: driver.Match,
+                    instantiate_all: bool = True) -> np.ndarray:
+        return driver.instantiate(model.compiled, match, instantiate_all)
+
+    def cloud(self) -> PointCloud:
+        return self._cloud

@@ -88,6 +88,14 @@ class SearchPolicy:
     max_instances: int = 8  # multi-instance extraction cap per find_all
     max_rounds: int = 8  # outer while(true) cap (impl/scene.hpp:70-95)
 
+    # --- scorer backend ---
+    # "auto": fused Pallas kernel on TPU, jnp voxel-LUT scorer elsewhere.
+    # The Pallas scorer ranks hypotheses by exact-NN correspondence count
+    # (the early-out/early-drop analog); finalists are then rescored with
+    # the reference-faithful finish_find either way.
+    scorer: str = "auto"  # "auto" | "pallas" | "jnp"
+    pallas_interpret: bool = False  # interpret-mode Pallas (tests on CPU)
+
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()
 DEFAULT_DISCRETIZATION = DiscretizationParams()

@@ -1,0 +1,212 @@
+// Native host runtime for triplet_match_tpu.
+//
+// The reference implements its entire runtime in C++ (pointcloud/kd-tree/
+// model index — /root/reference/include/impl/*.hpp); in this framework the
+// compute path is JAX/XLA on TPU, and this library covers the host-side
+// runtime where native code genuinely wins:
+//   * binary PCD payload parsing (strided field extraction, no Python loop)
+//   * MurmurHash3_x86_32 (bit-compatible with impl/discretize.hpp:12-45)
+//   * brute-force kNN with OpenMP (host-side validation / small queries,
+//     the pointcloud::knn_inclusive analog for CPU paths)
+//   * the O(n^2) pair-feature pass with OpenMP (model-compile fallback for
+//     hosts without an accelerator; mirrors impl/model.hpp:100-149)
+//
+// Plain C ABI; loaded via ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// MurmurHash3_x86_32 over uint32 words, seed 42 (reference-compatible).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t rotl32(uint32_t x, int8_t r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+uint32_t tm_murmur32(const uint32_t* key, int dim) {
+  uint32_t h1 = 42u;
+  const uint32_t c1 = 0xcc9e2d51u;
+  const uint32_t c2 = 0x1b873593u;
+  for (int i = 0; i < dim; ++i) {
+    uint32_t k1 = key[i];
+    k1 *= c1;
+    k1 = rotl32(k1, 15);
+    k1 *= c2;
+    h1 ^= k1;
+    h1 = rotl32(h1, 13);
+    h1 = h1 * 5u + 0xe6546b64u;
+  }
+  h1 ^= 4u * static_cast<uint32_t>(dim);
+  h1 ^= h1 >> 16;
+  h1 *= 0x85ebca6bu;
+  h1 ^= h1 >> 13;
+  h1 *= 0xc2b2ae35u;
+  h1 ^= h1 >> 16;
+  return h1;
+}
+
+void tm_murmur32_batch(const uint32_t* keys, int n, int dim, uint32_t* out) {
+#pragma omp parallel for
+  for (int i = 0; i < n; ++i) {
+    out[i] = tm_murmur32(keys + static_cast<size_t>(i) * dim, dim);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Binary PCD payload extraction: gather float columns out of strided records.
+//   data:    raw record bytes (n * stride)
+//   offsets: byte offset of each of `ncols` float32 fields
+//   out:     [n, ncols] float32
+// ---------------------------------------------------------------------------
+
+void tm_extract_fields(const uint8_t* data, int64_t n, int stride,
+                       const int* offsets, int ncols, float* out) {
+#pragma omp parallel for
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* rec = data + i * stride;
+    float* dst = out + i * ncols;
+    for (int c = 0; c < ncols; ++c) {
+      std::memcpy(dst + c, rec + offsets[c], sizeof(float));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Brute-force kNN (squared L2), OpenMP over queries.
+//   q: [nq, 3], r: [nr, 3], valid: [nr] (0/1), out_idx: [nq, k], out_d2: [nq, k]
+// ---------------------------------------------------------------------------
+
+void tm_knn(const float* q, int64_t nq, const float* r, int64_t nr,
+            const uint8_t* valid, int k, int32_t* out_idx, float* out_d2) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t i = 0; i < nq; ++i) {
+    const float qx = q[i * 3], qy = q[i * 3 + 1], qz = q[i * 3 + 2];
+    // max-heap of (d2, idx) as parallel arrays
+    std::vector<std::pair<float, int32_t>> heap;
+    heap.reserve(k + 1);
+    for (int64_t j = 0; j < nr; ++j) {
+      if (valid && !valid[j]) continue;
+      const float dx = r[j * 3] - qx;
+      const float dy = r[j * 3 + 1] - qy;
+      const float dz = r[j * 3 + 2] - qz;
+      const float d2 = dx * dx + dy * dy + dz * dz;
+      if (static_cast<int>(heap.size()) < k) {
+        heap.emplace_back(d2, static_cast<int32_t>(j));
+        std::push_heap(heap.begin(), heap.end());
+      } else if (d2 < heap.front().first) {
+        std::pop_heap(heap.begin(), heap.end());
+        heap.back() = {d2, static_cast<int32_t>(j)};
+        std::push_heap(heap.begin(), heap.end());
+      }
+    }
+    std::sort_heap(heap.begin(), heap.end());
+    for (int m = 0; m < k; ++m) {
+      if (m < static_cast<int>(heap.size())) {
+        out_idx[i * k + m] = heap[m].second;
+        out_d2[i * k + m] = heap[m].first;
+      } else {
+        out_idx[i * k + m] = 0;
+        out_d2[i * k + m] = 3.0e38f;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Pair-feature pass (host fallback of impl/model.hpp:100-149).
+//   xyz/tangent: [n, 3]; edge: [n] 0/1
+//   Pass 1 (out_keys == nullptr): compute feature distance bounds over valid
+//   pairs -> writes bounds[2] = {min_dist, max_dist} and returns valid count.
+//   Pass 2: discretize + pack keys exactly like features/discretize.py:
+//   key = (d0 << 20) | (a1 << 10) | a2; invalid pairs -> 0xFFFFFFFF.
+//   out arrays are length n*n, row-major (i, j).
+// ---------------------------------------------------------------------------
+
+static inline float unsigned_angle(float ax, float ay, float az, float bx,
+                                   float by, float bz) {
+  const float cx = ay * bz - az * by;
+  const float cy = az * bx - ax * bz;
+  const float cz = ax * by - ay * bx;
+  const float cross = std::sqrt(cx * cx + cy * cy + cz * cz);
+  const float dot = std::fabs(ax * bx + ay * by + az * bz);
+  return std::atan2(cross, dot);
+}
+
+int64_t tm_pair_pass(const float* xyz, const float* tangent, const uint8_t* edge,
+                     int64_t n, float lower, float upper, float parallel_eps,
+                     float bmin0, float brange0, int dist_steps, float angle_step,
+                     float* bounds, uint32_t* out_keys) {
+  int64_t count = 0;
+  float dmin = 3.0e38f, dmax = -3.0e38f;
+#pragma omp parallel
+  {
+    float l_dmin = 3.0e38f, l_dmax = -3.0e38f;
+    int64_t l_count = 0;
+#pragma omp for schedule(dynamic, 32)
+    for (int64_t i = 0; i < n; ++i) {
+      if (!edge[i]) {
+        if (out_keys) {
+          for (int64_t j = 0; j < n; ++j) out_keys[i * n + j] = 0xFFFFFFFFu;
+        }
+        continue;
+      }
+      const float pix = xyz[i * 3], piy = xyz[i * 3 + 1], piz = xyz[i * 3 + 2];
+      const float tix = tangent[i * 3], tiy = tangent[i * 3 + 1], tiz = tangent[i * 3 + 2];
+      for (int64_t j = 0; j < n; ++j) {
+        uint32_t key = 0xFFFFFFFFu;
+        if (edge[j] && j != i) {
+          const float dx = xyz[j * 3] - pix;
+          const float dy = xyz[j * 3 + 1] - piy;
+          const float dz = xyz[j * 3 + 2] - piz;
+          const float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
+          if (dist >= lower && dist <= upper) {
+            const float inv = 1.0f / std::max(dist, 1e-30f);
+            const float ddt = std::fabs((dx * tix + dy * tiy + dz * tiz) * inv);
+            if (1.0f - ddt >= parallel_eps) {
+              if (!out_keys) {
+                l_dmin = std::min(l_dmin, dist);
+                l_dmax = std::max(l_dmax, dist);
+                ++l_count;
+              } else {
+                // distance must be inside bounds (feature_valid)
+                if (dist >= bmin0 && dist <= bmin0 + brange0) {
+                  const float a1 = unsigned_angle(dx, dy, dz, tix, tiy, tiz);
+                  const float a2 = unsigned_angle(dx, dy, dz, tangent[j * 3],
+                                                  tangent[j * 3 + 1], tangent[j * 3 + 2]);
+                  float nval = (dist - bmin0) / brange0;
+                  uint32_t d0 = nval < 0.0f ? 0u
+                               : (nval >= 1.0f ? static_cast<uint32_t>(dist_steps - 1)
+                                               : static_cast<uint32_t>(nval * dist_steps));
+                  uint32_t b1 = static_cast<uint32_t>(a1 / angle_step);
+                  uint32_t b2 = static_cast<uint32_t>(a2 / angle_step);
+                  key = (d0 << 20) | (b1 << 10) | b2;
+                  ++l_count;
+                }
+              }
+            }
+          }
+        }
+        if (out_keys) out_keys[i * n + j] = key;
+      }
+    }
+#pragma omp critical
+    {
+      dmin = std::min(dmin, l_dmin);
+      dmax = std::max(dmax, l_dmax);
+      count += l_count;
+    }
+  }
+  if (bounds) {
+    bounds[0] = dmin;
+    bounds[1] = dmax;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -151,26 +151,41 @@ def hypothesize_and_score(
     if sample_params.force_up:
         hyp_ok = hyp_ok & (jnp.abs(1.0 - ts[..., 2, 2]) <= 0.01)
 
-    # --- batched project_ scoring, one first-neighborhood at a time ---
-    def per_first(args):
-        ts_b, ok_b, nbrs, nbr_ok = args  # [B2*Q,4,4], [B2*Q], [Ks], [Ks]
-        idx = jnp.broadcast_to(nbrs[None, :], (b2 * qcap, ks))
-        iv = jnp.broadcast_to(nbr_ok[None, :], (b2 * qcap, ks))
-        s, c, _, _ = _score_points(
-            model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres
-        )
-        return jnp.where(ok_b, s, -1.0), jnp.where(ok_b, c, 0)
-
-    scores, counts = jax.lax.map(
-        per_first,
-        (
-            ts.reshape(b1, b2 * qcap, 4, 4),
-            hyp_ok.reshape(b1, b2 * qcap),
-            nbr_idx,
-            nbr_in_r,
-        ),
+    # --- batched project_ scoring ---
+    use_pallas = policy.scorer == "pallas" or (
+        policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
-    scores = scores.reshape(-1)
+    if use_pallas:
+        # fused MXU kernel: exact-NN count ranking (score_pallas.py)
+        from triplet_match_tpu.search import score_pallas as sp
+
+        mpack = sp.pack_model(model)
+        groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r)
+        rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
+        s_pl, _ = sp.score_groups_pallas(
+            mpack, groups, rows, thres * thres,
+            mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+        )
+        scores = jnp.where(hyp_ok.reshape(b1, b2 * qcap), s_pl, -1.0).reshape(-1)
+    else:
+        def per_first(args):
+            ts_b, ok_b, nbrs, nbr_ok = args  # [B2*Q,4,4], [B2*Q], [Ks], [Ks]
+            idx = jnp.broadcast_to(nbrs[None, :], (b2 * qcap, ks))
+            iv = jnp.broadcast_to(nbr_ok[None, :], (b2 * qcap, ks))
+            s, c, _, _ = _score_points(
+                model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres
+            )
+            return jnp.where(ok_b, s, -1.0)
+
+        scores = jax.lax.map(
+            per_first,
+            (
+                ts.reshape(b1, b2 * qcap, 4, 4),
+                hyp_ok.reshape(b1, b2 * qcap),
+                nbr_idx,
+                nbr_in_r,
+            ),
+        ).reshape(-1)
     ts_flat = ts.reshape(-1, 4, 4)
     return ts_flat, scores, firsts.idx, firsts.valid, jnp.sum(hyp_ok.astype(jnp.int32))
 
@@ -271,6 +286,19 @@ def search_round(
     )
 
 
+LAST_SEARCH_STATS: dict = {}
+
+
+def _publish_stats(stats: dict) -> None:
+    """Populate the module-level stats snapshot (the reference declares a
+    ``statistics{rejection_rate}`` struct but never fills it,
+    include/scene:31-33 — ours is real)."""
+    fin = max(stats.get("finalists", 0), 1)
+    LAST_SEARCH_STATS.clear()
+    LAST_SEARCH_STATS.update(stats)
+    LAST_SEARCH_STATS["rejection_rate"] = 1.0 - stats.get("accepted", 0) / fin
+
+
 @dataclasses.dataclass
 class Match:
     """Accepted match (``match_t``, /root/reference/include/scene:23-28).
@@ -311,6 +339,8 @@ def find_all(
     if prep is None:
         prep = prepare_scene(scene_cloud, policy)
 
+    stats = {"rounds": 0, "hypotheses_scored": 0, "finalists": 0, "accepted": 0}
+
     round_fn = jax.jit(
         partial(
             search_round,
@@ -333,7 +363,12 @@ def find_all(
             model, prep, consumed, fp, key, jnp.float32(dist_thres), jnp.float32(model_match_factor)
         )
         accept = np.asarray(res.accept)
+        stats["rounds"] += 1
+        stats["hypotheses_scored"] += int(res.hypotheses_scored)
+        stats["finalists"] += accept.shape[0]
+        stats["accepted"] += int(accept.sum())
         if not accept.any():
+            _publish_stats(stats)
             break
         order = np.argsort(-np.asarray(res.count))
         for f in order:
@@ -352,7 +387,9 @@ def find_all(
                 )
             )
             if len(matches) >= policy.max_instances:
+                _publish_stats(stats)
                 return matches
+    _publish_stats(stats)
     return matches
 
 

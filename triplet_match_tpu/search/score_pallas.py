@@ -1,0 +1,313 @@
+"""Fused Pallas pose-scoring kernel (the ``project_`` hot loop on the MXU).
+
+The jnp scorer (score.py) follows the reference's voxel-LUT design
+(/root/reference/include/impl/scene.hpp:411-510): per transformed point,
+gather the nearest model point from the LUT.  Random gathers are the worst
+op on TPU (XLA lowers them element-at-a-time), so this kernel replaces the
+LUT with gather-free exact nearest neighbors computed on the MXU:
+
+  * scene neighborhoods are shared per hypothesis *group* (all hypotheses
+    minted from one first point score against one K-point neighborhood —
+    the radius-search subset of impl/scene.hpp:273), so scene attributes
+    are staged once per group as dense [8, K] channel planes;
+  * per pose, the term E[k,m] = |mp_m|^2 - 2 tp_k . mp_m is ONE dot_general
+    on the MXU — scene channels (-2 tp, 1), model channels (mp, |mp|^2) —
+    so d2min(k) = |tp_k|^2 + min_m E[k,m] costs a single VPU min-sweep;
+  * the reference's tangent-kind gate ("nearest point must be the same
+    kind", impl/scene.hpp:469-478) becomes TWO masked mins: a +BIG penalty
+    on the wrong-kind model channel folds into the same matmul, giving
+    dmin_edge and dmin_surf; a point scores iff its own kind's min is both
+    within threshold and not farther than the other kind's min;
+  * orientation weights |R ref_k . mref_m| ride a second dot_general and an
+    argmin-selection sweep (mode="full"); mode="count" skips them for pure
+    hypothesis ranking (acceptance gates are count-based anyway,
+    impl/scene.hpp:227).
+
+Exactness note: this scores against the *true* nearest model point, whereas
+the reference (and the jnp path) use the voxel-LUT approximation (nearest
+point of the containing voxel's center).  Strictly more accurate; parity
+tests compare against a jnp exact-NN reference implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = jnp.float32(1.0e12)
+_FAR = 1.0e6  # padding coordinate for invalid points
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ModelPack(NamedTuple):
+    """Model arrays staged for the kernel (built once per model).
+
+    channels_d [8, N]: rows 0-2 = xyz, 3 = |xyz|^2, 4 = BIG if NOT edge
+      (penalty folded into the edge-min matmul), 5 = BIG if edge, 6-7 = 0.
+    channels_w [8, N]: rows 5-7 = ref vector (tangent for edge points,
+      normal otherwise), others 0 — the orientation-weight matmul operand.
+    """
+
+    channels_d: jax.Array
+    channels_w: jax.Array
+    n_pad: int
+
+
+def pack_model(model) -> ModelPack:
+    """Stage a CompiledModel's cloud for gather-free scoring."""
+    xyz = model.cloud.xyz
+    n = xyz.shape[0]
+    n_pad = _round_up(n, 128)
+    pad = n_pad - n
+
+    valid = model.cloud.valid
+    xyz = jnp.where(valid[:, None], xyz, _FAR)
+    mtan = model.cloud.tangent
+    is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7  # impl/scene.hpp:470
+    mref = jnp.where(is_edge[:, None], mtan, model.cloud.normal)
+
+    def padn(a, fill=0.0):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+    xyz = padn(xyz, _FAR)
+    mref = padn(mref)
+    is_edge = padn(is_edge, False)
+    mp2 = jnp.sum(xyz * xyz, axis=-1)
+
+    zeros = jnp.zeros((n_pad,), jnp.float32)
+    ch_d = jnp.stack(
+        [
+            xyz[:, 0], xyz[:, 1], xyz[:, 2], mp2,
+            jnp.where(is_edge, 0.0, _BIG),  # channel 4: +penalty row for the edge-min
+            jnp.where(is_edge, _BIG, 0.0),  # channel 5: +penalty row for the surf-min
+            zeros, zeros,
+        ],
+        axis=0,
+    )
+    ch_w = jnp.stack(
+        [zeros, zeros, zeros, zeros, zeros, mref[:, 0], mref[:, 1], mref[:, 2]],
+        axis=0,
+    )
+    return ModelPack(ch_d, ch_w, n_pad)
+
+
+def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
+    """Stage per-group scene neighborhoods as [G, 8, K] channel planes.
+
+    One XLA gather of G*K elements (amortized over all poses of the group).
+    Rows: 0-2 xyz, 3 use_tangent, 4 eligibility, 5-7 ref vector.
+    """
+    xyz = scene.xyz[nbr_idx]  # [G, K, 3]
+    use_tan = tangent_mask[nbr_idx]
+    elig = nbr_valid & scene.valid[nbr_idx] & ~consumed[nbr_idx]
+    ref = jnp.where(use_tan[..., None], scene.tangent[nbr_idx], scene.normal[nbr_idx])
+    xyz = jnp.where(elig[..., None], xyz, _FAR)
+    return jnp.stack(
+        [
+            xyz[..., 0], xyz[..., 1], xyz[..., 2],
+            use_tan.astype(jnp.float32),
+            elig.astype(jnp.float32),
+            ref[..., 0], ref[..., 1], ref[..., 2],
+        ],
+        axis=1,
+    )  # [G, 8, K]
+
+
+def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_ref,
+            *, full: bool, pose_tile: int):
+    thres2 = params_ref[0, 0]
+    eps = params_ref[0, 1]
+
+    sc = scene_ref[0]  # [8, K]
+    px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
+    use_tan = sc[3:4, :]
+    elig = sc[4:5, :]
+    rx, ry, rz = sc[5:6, :], sc[6:7, :], sc[7:8, :]
+
+    kind = use_tan > 0.5
+    ones = jnp.ones_like(px)
+    zeros = jnp.zeros_like(px)
+    md = md_ref[:]  # [8, N]
+    pen_e = md[4:5, :]  # [1, N] +BIG where NOT edge
+    pen_s = md[5:6, :]  # [1, N] +BIG where edge
+
+    counts = []
+    scores = []
+    for p in range(pose_tile):
+        q = lambda i: poses_ref[0, p, i]  # SMEM scalar reads
+        r00, r01, r02 = q(0), q(1), q(2)
+        r10, r11, r12 = q(3), q(4), q(5)
+        r20, r21, r22 = q(6), q(7), q(8)
+        t0, t1, t2 = q(9), q(10), q(11)
+
+        tpx = r00 * px + r01 * py + r02 * pz + t0  # [1, K]
+        tpy = r10 * px + r11 * py + r12 * pz + t1
+        tpz = r20 * px + r21 * py + r22 * pz + t2
+        tp2 = tpx * tpx + tpy * tpy + tpz * tpz
+
+        # E = mp2 - 2 tp.mp straight off the MXU: scene channels (-2 tp, 1),
+        # model channels (mp, mp2).  ONE matmul per pose; the kind penalties
+        # are additive [1, N] rows fused into the min sweeps.
+        a = jnp.concatenate(
+            [-2.0 * tpx, -2.0 * tpy, -2.0 * tpz, ones, zeros, zeros, zeros, zeros],
+            axis=0,
+        )  # [8, K]
+        e = lax.dot_general(
+            a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [K, N]
+
+        emin_e = jnp.min(e + pen_e, axis=1)[None, :]  # [1, K]
+        emin_s = jnp.min(e + pen_s, axis=1)[None, :]
+        d2_e = tp2 + emin_e
+        d2_s = tp2 + emin_s
+
+        dk = jnp.where(kind, d2_e, d2_s)
+        do = jnp.where(kind, d2_s, d2_e)
+        ok = (elig > 0.5) & (dk <= thres2) & (dk <= do)
+
+        cnt = jnp.sum(ok.astype(jnp.float32))
+        counts.append(cnt)
+
+        if full:
+            trx = r00 * rx + r01 * ry + r02 * rz
+            try_ = r10 * rx + r11 * ry + r12 * rz
+            trz = r20 * rx + r21 * ry + r22 * rz
+            a_w = jnp.concatenate(
+                [zeros, zeros, zeros, zeros, zeros, trx, try_, trz], axis=0
+            )
+            w = lax.dot_general(
+                a_w, mw_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [K, N]
+            kc = kind[0][:, None]  # [K, 1]
+            e_kind = e + jnp.where(kc, pen_e, pen_s)
+            emin_kind = jnp.where(kind, emin_e, emin_s)[0][:, None]
+            sel = (e_kind <= emin_kind + eps).astype(jnp.float32)
+            wsum = jnp.sum(w * sel, axis=1)
+            ssum = jnp.maximum(jnp.sum(sel, axis=1), 1.0)
+            w_at_min = jnp.abs(wsum / ssum)[None, :]
+            scores.append(jnp.sum(jnp.where(ok, w_at_min, 0.0)))
+        else:
+            scores.append(cnt)
+
+    j = pl.program_id(1)
+    score_row = jnp.stack(scores).reshape(1, 1, pose_tile)
+    count_row = jnp.stack(counts).reshape(1, 1, pose_tile)
+    score_ref[0:1, pl.ds(j, 1), :] = score_row
+    count_ref[0:1, pl.ds(j, 1), :] = count_row
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "pose_tile", "interpret"))
+def score_groups_pallas(
+    mpack: ModelPack,
+    groups: jax.Array,  # [G, 8, K] from pack_groups
+    poses: jax.Array,  # [G, Hg, 16] row-major R | t | pad
+    dist_thres2,  # scalar: (dist_thres * resolution)^2
+    *,
+    mode: str = "full",
+    pose_tile: int = 8,
+    interpret: bool = False,
+):
+    """Score all G*Hg poses.  Returns (score [G, Hg], count [G, Hg])."""
+    g, _, k = groups.shape
+    hg = poses.shape[1]
+    n = mpack.channels_d.shape[1]
+    if hg % pose_tile:
+        raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
+
+    params = jnp.asarray([[0.0, 1e-6, 0.0, 0.0]], jnp.float32).at[0, 0].set(
+        jnp.asarray(dist_thres2, jnp.float32)
+    )
+
+    hgt = hg // pose_tile
+    grid = (g, hgt)
+    kernel = functools.partial(_kernel, full=(mode == "full"), pose_tile=pose_tile)
+    score, count = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((8, n), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, n), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            # full coverage of the (hgt, pose_tile) tail dims; programs with
+            # the same g revisit the block and fill their j-slice
+            pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
+            jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(params, poses.reshape(g, hg, 16), groups, mpack.channels_d, mpack.channels_w)
+    return score.reshape(g, hg), count.reshape(g, hg).astype(jnp.int32)
+
+
+def poses_to_rows(ts: jax.Array) -> jax.Array:
+    """[..., 4, 4] -> [..., 16] row-major (R rows, t, pad) kernel layout."""
+    r = ts[..., :3, :3].reshape(*ts.shape[:-2], 9)
+    t = ts[..., :3, 3]
+    pad = jnp.zeros(ts.shape[:-2] + (4,), ts.dtype)
+    return jnp.concatenate([r, t, pad], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementation (exact-NN semantics) for parity tests
+# ---------------------------------------------------------------------------
+
+
+def score_groups_exact_jnp(model, scene, tangent_mask, consumed, nbr_idx, nbr_valid,
+                           ts, dist_thres):
+    """Same math as the kernel, in plain jnp (vmapped), for parity checks.
+
+    ts: [G, Hg, 4, 4]; nbr_idx/nbr_valid: [G, K].
+    """
+    thres2 = (jnp.float32(dist_thres) * model.resolution) ** 2
+    mxyz = jnp.where(model.cloud.valid[:, None], model.cloud.xyz, _FAR)
+    is_edge = jnp.linalg.norm(model.cloud.tangent, axis=-1) > 0.7
+    mref = jnp.where(is_edge[:, None], model.cloud.tangent, model.cloud.normal)
+
+    def one_group(idx, iv, ts_g):
+        pos = jnp.where(
+            (iv & scene.valid[idx] & ~consumed[idx])[:, None], scene.xyz[idx], _FAR
+        )
+        use_tan = tangent_mask[idx]
+        ref = jnp.where(use_tan[:, None], scene.tangent[idx], scene.normal[idx])
+        elig = iv & scene.valid[idx] & ~consumed[idx]
+
+        def one_pose(t):
+            r = t[:3, :3]
+            tp = pos @ r.T + t[:3, 3]
+            d2 = (
+                jnp.sum(tp * tp, -1, keepdims=True)
+                - 2.0 * tp @ mxyz.T
+                + jnp.sum(mxyz * mxyz, -1)[None, :]
+            )
+            d2_e = jnp.min(jnp.where(is_edge[None, :], d2, _BIG), axis=1)
+            d2_s = jnp.min(jnp.where(is_edge[None, :], _BIG, d2), axis=1)
+            dk = jnp.where(use_tan, d2_e, d2_s)
+            do = jnp.where(use_tan, d2_s, d2_e)
+            ok = elig & (dk <= thres2) & (dk <= do)
+            tref = ref @ r.T
+            w = tref @ mref.T  # [K, N] raw dot; abs after argmin-averaging (as kernel)
+            ekind = jnp.where(use_tan[:, None], jnp.where(is_edge[None, :], d2, _BIG),
+                              jnp.where(is_edge[None, :], _BIG, d2))
+            sel = (ekind <= dk[:, None] + 1e-6).astype(jnp.float32)
+            wmin = jnp.abs(jnp.sum(w * sel, 1) / jnp.maximum(jnp.sum(sel, 1), 1.0))
+            return jnp.sum(jnp.where(ok, wmin, 0.0)), jnp.sum(ok.astype(jnp.int32))
+
+        return jax.vmap(one_pose)(ts_g)
+
+    return jax.vmap(one_group)(nbr_idx, nbr_valid, ts)
