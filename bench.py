@@ -26,6 +26,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the remote TPU compile service has erratic
+    # latency; cache hits make repeat runs fast and robust
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
@@ -64,7 +73,7 @@ def main():
 
     if on_tpu:
         from triplet_match_tpu.search.score_pallas import (
-            pack_groups, pack_model, poses_to_rows, score_groups_pallas,
+            pack_groups, pack_model, poses_to_rows, score_groups_two_phase,
         )
 
         mpack = pack_model(model)
@@ -72,8 +81,10 @@ def main():
         rows = poses_to_rows(jnp.asarray(ts))
 
         def run():
-            return score_groups_pallas(
-                mpack, groups, rows, thres * thres, mode="count", pose_tile=8
+            # the driver's scoring path: coarse pass + full rescore of the
+            # per-group top poses (the batched early-drop)
+            return score_groups_two_phase(
+                mpack, groups, rows, thres * thres, mode="count", pose_tile=16
             )
 
     else:

@@ -112,6 +112,33 @@ def test_find_all_with_pallas_scorer(setup):
     assert float(np.degrees(float(dr))) < 0.6
 
 
+def test_two_phase_keeps_good_poses(setup):
+    """Two-phase (coarse subsample + rescore) must keep near-true poses and
+    give them their full-K scores."""
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    s_full, c_full = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4, interpret=True
+    )
+    s_2p, c_2p = score_groups_two_phase(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4,
+        coarse_stride=4, keep_frac=2, interpret=True,
+    )
+    s_full, s_2p = np.asarray(s_full), np.asarray(s_2p)
+    # the per-group best full-score pose survives and keeps its exact score
+    for g in range(s_full.shape[0]):
+        b = int(np.argmax(s_full[g]))
+        assert s_2p[g, b] == s_full[g, b]
+    # dropped poses are marked -1
+    assert (s_2p == -1.0).any()
+
+
 def test_true_pose_scores_higher_than_junk(setup):
     model, prep, ts, nbr_idx, nbr_valid, consumed = setup
     scene = prep.cloud

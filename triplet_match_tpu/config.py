@@ -95,6 +95,10 @@ class SearchPolicy:
     # the reference-faithful finish_find either way.
     scorer: str = "auto"  # "auto" | "pallas" | "jnp"
     pallas_interpret: bool = False  # interpret-mode Pallas (tests on CPU)
+    # two-phase scoring = the reference's statistical early-drop
+    # (impl/scene.hpp:492-506) batched: coarse pass on a 1/4 neighborhood
+    # subsample, full rescore of the per-group top 1/8 poses
+    two_phase_scoring: bool = True
 
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()

@@ -162,10 +162,16 @@ def hypothesize_and_score(
         mpack = sp.pack_model(model)
         groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r)
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
-        s_pl, _ = sp.score_groups_pallas(
-            mpack, groups, rows, thres * thres,
-            mode="count", pose_tile=8, interpret=policy.pallas_interpret,
-        )
+        if policy.two_phase_scoring and ks >= 256:
+            s_pl, _ = sp.score_groups_two_phase(
+                mpack, groups, rows, thres * thres,
+                mode="count", pose_tile=16, interpret=policy.pallas_interpret,
+            )
+        else:
+            s_pl, _ = sp.score_groups_pallas(
+                mpack, groups, rows, thres * thres,
+                mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+            )
         scores = jnp.where(hyp_ok.reshape(b1, b2 * qcap), s_pl, -1.0).reshape(-1)
     else:
         def per_first(args):

@@ -255,6 +255,51 @@ def score_groups_pallas(
     return score.reshape(g, hg), count.reshape(g, hg).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret")
+)
+def score_groups_two_phase(
+    mpack: ModelPack,
+    groups: jax.Array,
+    poses: jax.Array,  # [G, Hg, 16]
+    dist_thres2,
+    *,
+    mode: str = "count",
+    pose_tile: int = 8,
+    coarse_stride: int = 4,
+    keep_frac: int = 8,
+    interpret: bool = False,
+):
+    """Early-drop analog: coarse pass on a strided neighborhood subsample,
+    full rescore of the per-group top 1/keep_frac poses.
+
+    The reference aborts hopeless poses from partial-subset statistics every
+    5% of the scan (impl/scene.hpp:421-425, 492-506); batched, the same idea
+    is "score everyone cheaply, spend full effort only on survivors".
+    Returns scores [G, Hg] where dropped poses get -1 (they can never become
+    finalists) and survivors get their full-K score.
+    """
+    g, hg = poses.shape[:2]
+    keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)
+    coarse = groups[:, :, ::coarse_stride]
+
+    s1, _ = score_groups_pallas(
+        mpack, coarse, poses, dist_thres2,
+        mode="count", pose_tile=pose_tile, interpret=interpret,
+    )
+    _, kept = jax.lax.top_k(s1, keep)  # [G, keep]
+    poses_kept = jnp.take_along_axis(poses, kept[..., None], axis=1)  # [G, keep, 16]
+    s2, c2 = score_groups_pallas(
+        mpack, groups, poses_kept, dist_thres2,
+        mode=mode, pose_tile=pose_tile, interpret=interpret,
+    )
+    out = jnp.full((g, hg), -1.0, jnp.float32)
+    out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, kept, s2)
+    cnt = jnp.zeros((g, hg), jnp.int32)
+    cnt = jax.vmap(lambda o, i, v: o.at[i].set(v))(cnt, kept, c2)
+    return out, cnt
+
+
 def poses_to_rows(ts: jax.Array) -> jax.Array:
     """[..., 4, 4] -> [..., 16] row-major (R rows, t, pad) kernel layout."""
     r = ts[..., :3, :3].reshape(*ts.shape[:-2], 9)
