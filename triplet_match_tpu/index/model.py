@@ -127,22 +127,24 @@ def _voxel_grid_setup(lower, upper, resolution_val: float, margin: int):
     return tuple(int(e) for e in extents), to_voxel
 
 
-def _pair_pass(cloud, edge, bounds, params, lower_bound, upper_bound, parallel_eps, block=256):
-    """Tiled pass over all edge-point pairs.
+def _pair_pass(exyz, etan, evalid, bounds, params, lower_bound, upper_bound,
+               parallel_eps, block=256):
+    """Tiled pass over the compacted edge-point pair square [E, E].
 
-    Returns per-pair (valid, key) over the full [N, N] index square (invalid
-    rows/cols masked).  When ``bounds`` is None, instead returns the feature
-    bounds (pass 1, impl/model.hpp:100-122); otherwise packed keys (pass 2,
-    impl/model.hpp:124-149).
+    Operates on edge-gathered arrays so memory scales with the edge subset,
+    not the full cloud (the reference's pair passes also run on the filtered
+    subset, impl/model.hpp:96-149).  When ``bounds`` is None returns the
+    feature bounds (pass 1, impl/model.hpp:100-122); otherwise packed keys
+    (pass 2, impl/model.hpp:124-149).
     """
-    n = cloud.xyz.shape[0]
-    nblocks = -(-n // block)
-    pad = nblocks * block - n
-    xyz = jnp.pad(cloud.xyz, ((0, pad), (0, 0)))
-    tan = jnp.pad(cloud.tangent, ((0, pad), (0, 0)))
-    em = jnp.pad(edge, (0, pad))
-
     from jax import lax
+
+    e = exyz.shape[0]
+    nblocks = -(-e // block)
+    pad = nblocks * block - e
+    xyz = jnp.pad(exyz, ((0, pad), (0, 0)))
+    tan = jnp.pad(etan, ((0, pad), (0, 0)))
+    em = jnp.pad(evalid, (0, pad))
 
     def tile(i0):
         sl = lambda a: lax.dynamic_slice_in_dim(a, i0, block, axis=0)
@@ -152,7 +154,7 @@ def _pair_pass(cloud, edge, bounds, params, lower_bound, upper_bound, parallel_e
         p1 = xyz[None, :, :]
         t1 = tan[None, :, :]
         rows = i0 + jnp.arange(block)
-        not_self = rows[:, None] != jnp.arange(n + pad)[None, :]
+        not_self = rows[:, None] != jnp.arange(e + pad)[None, :]
         gates = pf.pair_gates(p0, p1, t0, lower_bound, upper_bound, parallel_eps)
         valid = e0 & em[None, :] & not_self & gates
         f = pf.pair_feature(p0, p1, t0, t1)
@@ -183,16 +185,24 @@ def _pair_pass(cloud, edge, bounds, params, lower_bound, upper_bound, parallel_e
             key = jnp.where(valid, dz.pack_key(df), _INVALID_KEY)
             return key
 
-        keys = jax.lax.map(body, starts)  # [nblocks, block, n+pad]
-        return keys.reshape(-1, n + pad)[: n, :n]
+        keys = jax.lax.map(body, starts)  # [nblocks, block, e+pad]
+        return keys.reshape(-1, e + pad)[:e, :e]
 
 
-@jax.jit
-def _measure(cloud: cl.PointCloud):
+@partial(jax.jit, static_argnames=("policy",))
+def _measure(cloud: cl.PointCloud, policy: SearchPolicy):
+    """Stage 1: finite filter, resolution, bbox, curvature -> edge mask."""
     cloud = cl.finite_filter(cloud)
     res = cl.resolution(cloud)
     lower, upper = cl.bbox(cloud)
-    return res, lower, upper
+    curv = principal_curvatures(cloud, k=policy.curvature_k)
+    edge = edge_mask_op(
+        cloud,
+        curv,
+        tangent_norm_threshold=policy.tangent_norm_threshold,
+        curvature_ratio_threshold=policy.curvature_ratio_threshold,
+    )
+    return res, lower, upper, edge
 
 
 @partial(
@@ -201,6 +211,9 @@ def _measure(cloud: cl.PointCloud):
 )
 def _build(
     cloud: cl.PointCloud,
+    edge: jax.Array,
+    edge_idx: jax.Array,  # [E_pad] int32 indices of (subsampled) edge points
+    edge_idx_valid: jax.Array,  # [E_pad] bool
     to_voxel: jax.Array,
     res: jax.Array,
     dia: jax.Array,
@@ -213,7 +226,7 @@ def _build(
     pair_block: int,
     margin: int,
 ) -> CompiledModel:
-    """One fused compile program: LUT + curvature + edge + pair table."""
+    """Stage 2: fused compile program — LUT + pair table over the edge subset."""
     cloud = cl.finite_filter(cloud)
 
     # --- voxel LUT: nearest model point per voxel center (impl/model.hpp:81-94)
@@ -230,18 +243,13 @@ def _build(
     lut_idx, _ = knn_ops.nn1(centers, cloud.xyz, cloud.valid)
     lut = lut_idx.reshape(ex, ey, ez)
 
-    # --- curvature + edge subset (impl/model.hpp:68-71, 96-99)
-    curv = principal_curvatures(cloud, k=policy.curvature_k)
-    edge = edge_mask_op(
-        cloud,
-        curv,
-        tangent_norm_threshold=policy.tangent_norm_threshold,
-        curvature_ratio_threshold=policy.curvature_ratio_threshold,
-    )
+    # --- pair passes over the compacted edge subset (impl/model.hpp:100-149)
+    exyz = cloud.xyz[edge_idx]
+    etan = cloud.tangent[edge_idx]
+    evalid = edge_idx_valid & cloud.valid[edge_idx] & edge[edge_idx]
 
-    # --- pair passes (impl/model.hpp:100-149)
     bmin, bmax, _ = _pair_pass(
-        cloud, edge, None, discretization, lower_bound, upper_bound,
+        exyz, etan, evalid, None, discretization, lower_bound, upper_bound,
         policy.pair_parallel_epsilon, block=pair_block,
     )
     # valid_bounds with the live-call args (0, 1) is the identity
@@ -249,16 +257,16 @@ def _build(
     bmin, bmax = pf.valid_bounds(bmin, bmax, 0.0, 1.0)
 
     key_sq = _pair_pass(
-        cloud, edge, (bmin, bmax), discretization, lower_bound, upper_bound,
+        exyz, etan, evalid, (bmin, bmax), discretization, lower_bound, upper_bound,
         policy.pair_parallel_epsilon, block=pair_block,
     )
 
-    n = cloud.xyz.shape[0]
+    e = edge_idx.shape[0]
     keys_flat = key_sq.reshape(-1)
     order = jnp.argsort(keys_flat)  # invalid sentinel 0xFFFFFFFF sorts last
     keys_sorted = keys_flat[order]
-    i_idx = (order // n).astype(jnp.int32)
-    j_idx = (order % n).astype(jnp.int32)
+    i_idx = edge_idx[(order // e).astype(jnp.int32)]
+    j_idx = edge_idx[(order % e).astype(jnp.int32)]
     pairs = jnp.stack([i_idx, j_idx], axis=-1)
     pair_count = jnp.sum((keys_sorted != _INVALID_KEY).astype(jnp.int32))
 
@@ -288,22 +296,42 @@ def compile_model(
     *,
     margin: int = 5,
     pair_block: int = 256,
+    max_pair_points: int = 4096,
 ) -> CompiledModel:
     """Compile a model cloud into its two query indexes.
 
     Analog of ``model::init`` (impl/model.hpp:15-167) in two jitted stages:
-    a measurement pass (resolution + bbox, pulled to host to size the voxel
-    grid — extents are static array shapes) and one fused build program.
+    a measurement pass (resolution/bbox/edge mask — bbox sizes the voxel
+    grid, so extents must be concrete) and one fused build program over the
+    compacted edge subset.
+
+    ``max_pair_points`` caps the pair-table subset for very large models:
+    the reference enumerates ALL edge-point pairs (O(E^2) hash entries,
+    impl/model.hpp:124-149); above the cap we evenly subsample edge points,
+    which thins redundant pair entries without shrinking feature coverage.
     """
-    res_d, lower_d, upper_d = _measure(cloud)
+    res_d, lower_d, upper_d, edge_d = _measure(cloud, policy)
     res = float(res_d)
     lower, upper = np.asarray(lower_d), np.asarray(upper_d)
     dia = float(np.linalg.norm(upper - lower))
-
     extents, to_voxel = _voxel_grid_setup(lower, upper, res, margin)
+
+    edge_np = np.asarray(edge_d)
+    eidx = np.where(edge_np)[0]
+    if eidx.size > max_pair_points:
+        sel = np.linspace(0, eidx.size - 1, max_pair_points).astype(np.int64)
+        eidx = eidx[sel]
+    e_pad = max(-(-max(eidx.size, 1) // pair_block) * pair_block, pair_block)
+    edge_idx = np.zeros(e_pad, np.int32)
+    edge_idx[: eidx.size] = eidx
+    edge_idx_valid = np.zeros(e_pad, bool)
+    edge_idx_valid[: eidx.size] = True
 
     return _build(
         cloud,
+        edge_d,
+        jnp.asarray(edge_idx),
+        jnp.asarray(edge_idx_valid),
         jnp.asarray(to_voxel),
         jnp.float32(res),
         jnp.float32(dia),

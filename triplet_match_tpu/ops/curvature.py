@@ -54,6 +54,34 @@ def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureIn
     )
 
 
+def estimate_edge_tangents(cloud, k: int = 30, *, curvature_ratio_threshold: float = 0.2,
+                           min_pc_max: float = 1e-3) -> jax.Array:
+    """Estimate edge tangents for clouds that lack them.
+
+    The reference assumes tangents arrive precomputed in
+    ``PointSurfel.data_c[1..3]`` (include/common:62-70) from an upstream
+    tool.  This op derives them from geometry: at a crease, the dominant
+    eigenvector of the projected-normal covariance (``pc_max_dir``) is
+    perpendicular to both face normals in the tangent plane — i.e. the
+    normal-variation direction; the edge direction is ``normal x pc_max_dir``.
+    Non-edge points (curvature ratio above threshold, or normal variation
+    below the ``min_pc_max`` significance floor — flat regions have
+    near-zero covariance whose eigenvalue ratio is numerical noise) get zero
+    tangents, matching the convention the edge filter expects
+    (impl/model.hpp:96-99).
+
+    Returns [N, 3] tangents (unit on detected edges, zero elsewhere).
+    """
+    curv = principal_curvatures(cloud, k=k)
+    ratio = jnp.where(
+        curv.pc_max > 0.0, curv.pc_min / jnp.maximum(curv.pc_max, 1e-30), jnp.inf
+    )
+    is_edge = cloud.valid & (ratio < curvature_ratio_threshold) & (curv.pc_max > min_pc_max)
+    t = jnp.cross(cloud.normal, curv.pc_max_dir)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    return jnp.where(is_edge[:, None], t, 0.0)
+
+
 def edge_mask(cloud, curv: CurvatureInfo, *, tangent_norm_threshold: float = 0.7,
               curvature_ratio_threshold: float = 0.2) -> jax.Array:
     """Edge-point classification.

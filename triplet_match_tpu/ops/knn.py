@@ -4,8 +4,12 @@ The reference answers every spatial query through a PCL kd-tree
 (/root/reference/include/impl/pointcloud.hpp:116-210) or the (unused) octree
 (/root/reference/include/octree).  On TPU both become one primitive: a tiled
 squared-distance computation whose inner product rides the MXU
-(``|q|^2 - 2 q.r + |r|^2``), followed by ``lax.top_k``.  Query blocks are
-scanned so peak memory stays at ``block * N`` floats regardless of Q.
+(``|q|^2 - 2 q.r + |r|^2``), followed by ``lax.top_k``.
+
+Tiling is two-level so memory stays bounded for million-point clouds
+(BASELINE configs 4-5): query blocks are mapped (``lax.map``) and reference
+blocks are scanned (``lax.scan``) with a running top-k merge, so the peak
+intermediate is ``block x ref_block`` floats regardless of Q and N.
 
 The matmul expansion cancels catastrophically in f32 when coordinates are
 large relative to distances, so selection runs in two stages: an approximate
@@ -31,12 +35,53 @@ def _pad_rows(a: jax.Array, to: int):
     return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
 
 
+def _default_ref_block(n: int, block: int) -> int:
+    # bound the [block, ref_block] tile to ~64MB f32
+    cap = max(4096, (1 << 24) // max(block, 1))
+    return min(n, cap)
+
+
 def pairwise_sqdist(q: jax.Array, r: jax.Array) -> jax.Array:
     """Approximate squared distances [Q, N] via the matmul expansion."""
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     rr = jnp.sum(r * r, axis=-1)
     cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
     return jnp.maximum(qq - 2.0 * cross + rr[None, :], 0.0)
+
+
+def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None):
+    """Running top-k2 candidates of query block ``qb`` over scanned ref blocks.
+
+    self_rows: optional [B] global query row ids to exclude (self-match).
+    Returns (cand_idx [B, k2] int32, approx_d2 [B, k2]).
+    """
+    n = r.shape[0]
+    nrb = -(-n // ref_block)
+    r_p = _pad_rows(r, nrb * ref_block).reshape(nrb, ref_block, 3)
+    inf_p = jnp.pad(inf_row, (0, nrb * ref_block - n), constant_values=_INF)
+    inf_p = inf_p.reshape(nrb, ref_block)
+    b = qb.shape[0]
+
+    def body(carry, args):
+        best_d2, best_idx = carry
+        rb_i, r_b, inf_b = args
+        d2 = pairwise_sqdist(qb, r_b) + inf_b[None, :]
+        if self_rows is not None:
+            col = rb_i * ref_block + jnp.arange(ref_block, dtype=jnp.int32)
+            d2 = jnp.where(self_rows[:, None] == col[None, :], _INF, d2)
+        kk = min(k2, ref_block)
+        neg, idx = lax.top_k(-d2, kk)
+        idx = idx + rb_i * ref_block
+        cat_d2 = jnp.concatenate([best_d2, -neg], axis=1)
+        cat_idx = jnp.concatenate([best_idx, idx.astype(jnp.int32)], axis=1)
+        neg2, pos = lax.top_k(-cat_d2, k2)
+        return (-neg2, jnp.take_along_axis(cat_idx, pos, axis=1)), None
+
+    init = (jnp.full((b, k2), _INF), jnp.zeros((b, k2), jnp.int32))
+    (d2, idx), _ = lax.scan(
+        body, init, (jnp.arange(nrb, dtype=jnp.int32), r_p, inf_p)
+    )
+    return idx, d2
 
 
 def knn(
@@ -46,6 +91,7 @@ def knn(
     k: int,
     *,
     block: int = 1024,
+    ref_block: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest reference points for each query point (exact distances).
 
@@ -56,7 +102,7 @@ def knn(
       r: [N, 3] reference positions.
       r_valid: [N] bool reference validity.
       k: number of neighbors (static).
-      block: query tile size.
+      block: query tile size; ref_block: reference tile size (auto).
 
     Returns:
       (indices [Q, k] int32, sqdists [Q, k] float32).  Invalid reference
@@ -65,15 +111,15 @@ def knn(
     """
     qn = q.shape[0]
     n = r.shape[0]
+    rb = ref_block or _default_ref_block(n, block)
     k2 = min(k + _REFINE_PAD, n)
     nblocks = -(-qn // block)
     qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
     inf_row = jnp.where(r_valid, 0.0, _INF)
 
     def tile(qb):
-        d2a = pairwise_sqdist(qb, r) + inf_row[None, :]
-        _, cand = lax.top_k(-d2a, k2)
-        cpos = r[cand]  # [B, k2, 3]
+        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb)
+        cpos = r[cand]
         d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
         neg, pos = lax.top_k(-d2, k)
         idx = jnp.take_along_axis(cand, pos, axis=1)
@@ -83,7 +129,8 @@ def knn(
     return idx.reshape(-1, k)[:qn], d2.reshape(-1, k)[:qn]
 
 
-def nn1(q: jax.Array, r: jax.Array, r_valid: jax.Array, *, block: int = 2048) -> tuple[jax.Array, jax.Array]:
+def nn1(q: jax.Array, r: jax.Array, r_valid: jax.Array, *, block: int = 2048,
+        ref_block: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Single nearest neighbor (argmin) — the voxel-LUT build primitive.
 
     Replaces the per-voxel ``knn_inclusive(1, center)`` loop at
@@ -91,14 +138,14 @@ def nn1(q: jax.Array, r: jax.Array, r_valid: jax.Array, *, block: int = 2048) ->
     """
     qn = q.shape[0]
     n = r.shape[0]
+    rb = ref_block or _default_ref_block(n, block)
     k2 = min(1 + _REFINE_PAD, n)
     nblocks = -(-qn // block)
     qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
     inf_row = jnp.where(r_valid, 0.0, _INF)
 
     def tile(qb):
-        d2a = pairwise_sqdist(qb, r) + inf_row[None, :]
-        _, cand = lax.top_k(-d2a, k2)
+        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb)
         cpos = r[cand]
         d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
         j = jnp.argmin(d2, axis=-1)
@@ -109,7 +156,7 @@ def nn1(q: jax.Array, r: jax.Array, r_valid: jax.Array, *, block: int = 2048) ->
     return idx.reshape(-1)[:qn], d2.reshape(-1)[:qn]
 
 
-def nn1_exclusive_dist(cloud, *, block: int = 1024) -> jax.Array:
+def nn1_exclusive_dist(cloud, *, block: int = 1024, ref_block: int | None = None) -> jax.Array:
     """Distance from each valid point to its nearest *other* valid point.
 
     The ``resolution()`` primitive (/root/reference/include/impl/pointcloud.hpp:66-82).
@@ -117,23 +164,22 @@ def nn1_exclusive_dist(cloud, *, block: int = 1024) -> jax.Array:
     """
     xyz, valid = cloud.xyz, cloud.valid
     n = xyz.shape[0]
+    rb = ref_block or _default_ref_block(n, block)
     k2 = min(2 + _REFINE_PAD, n)
     nblocks = -(-n // block)
     xp = _pad_rows(xyz, nblocks * block).reshape(nblocks, block, 3)
     inf_row = jnp.where(valid, 0.0, _INF)
 
     def tile(args):
-        b, qb = args
-        rows = b * block + jnp.arange(block, dtype=jnp.int32)
-        d2a = pairwise_sqdist(qb, xyz) + inf_row[None, :]
-        d2a = jnp.where(rows[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :], _INF, d2a)
-        _, cand = lax.top_k(-d2a, k2)
+        bi, qb = args
+        rows = bi * block + jnp.arange(block, dtype=jnp.int32)
+        cand, _ = _scan_candidates(qb, xyz, inf_row, k2, rb, self_rows=rows)
         cpos = xyz[cand]
         d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
         d2 = jnp.where(cand == rows[:, None], _INF, d2)
         return jnp.min(d2, axis=-1)
 
-    d2 = lax.map(tile, (jnp.arange(nblocks), xp)).reshape(-1)[:n]
+    d2 = lax.map(tile, (jnp.arange(nblocks, dtype=jnp.int32), xp)).reshape(-1)[:n]
     return jnp.where(valid, jnp.sqrt(d2), 0.0)
 
 
@@ -145,6 +191,7 @@ def radius_neighbors(
     k: int,
     *,
     block: int = 256,
+    ref_block: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Up to ``k`` nearest neighbors within ``radius`` (pad-and-mask).
 
@@ -155,5 +202,5 @@ def radius_neighbors(
     Returns:
       (indices [Q, k] int32, mask [Q, k] bool).
     """
-    idx, d2 = knn(q, r, r_valid, k, block=block)
+    idx, d2 = knn(q, r, r_valid, k, block=block, ref_block=ref_block)
     return idx, d2 <= jnp.asarray(radius, jnp.float32) ** 2

@@ -310,13 +310,15 @@ class Match:
     """Accepted match (``match_t``, /root/reference/include/scene:23-28).
 
     ``transform`` maps model -> scene (the reference inverts before returning,
-    impl/scene.hpp:92).
+    impl/scene.hpp:92).  ``cast_score`` is filled by raycast-verified search
+    (matched / visible — the disabled OptiX path, impl/scene.hpp:173-187).
     """
 
     transform: np.ndarray  # [4,4] model -> scene
     scene_corrs: np.ndarray  # [K] scene point indices (newly claimed)
     model_corrs: np.ndarray  # [K] model point indices
     signed_score: float  # normalized signed score (score / model size)
+    cast_score: float | None = None
 
 
 def find_all(
@@ -397,6 +399,76 @@ def find_all(
                 return matches
     _publish_stats(stats)
     return matches
+
+
+def find_all_multi(
+    models: list[CompiledModel],
+    scene_cloud: cl.PointCloud,
+    *,
+    raycast_origins: np.ndarray | None = None,
+    min_cast_score: float | None = None,
+    point_radius: float | None = None,
+    depth_tolerance: float | None = None,
+    policy: SearchPolicy = DEFAULT_POLICY,
+    **kwargs,
+) -> list[list[Match]]:
+    """Search several models in one scene (BASELINE config 5).
+
+    Models search sequentially over a SHARED consumed-points mask (a scene
+    point claimed by one model's match is unavailable to the others — the
+    multi-model extension of the masking protocol at impl/scene.hpp:87-93).
+    With ``raycast_origins``, each match is raycast-verified
+    (verify/raycast.py): cast_score = matched / visible-from-any-origin, and
+    matches below ``min_cast_score`` are dropped (the reference's disabled
+    OptiX verification, impl/scene.hpp:173-187, made live).
+
+    Returns one match list per model.
+    """
+    from triplet_match_tpu.verify.raycast import cast_visibility_multi
+
+    prep = prepare_scene(scene_cloud, policy)
+    n = prep.cloud.xyz.shape[0]
+    consumed_points: np.ndarray | None = None
+    all_matches: list[list[Match]] = []
+
+    for model in models:
+        if consumed_points is not None:
+            patched = dataclasses.replace(
+                prep.cloud, valid=prep.cloud.valid & ~jnp.asarray(consumed_points)
+            )
+            prep_m = ScenePrep(
+                cloud=patched,
+                tangent_mask=prep.tangent_mask & ~jnp.asarray(consumed_points),
+                n_edge=prep.n_edge,
+            )
+        else:
+            prep_m = prep
+        matches = find_all(model, scene_cloud, policy=policy, prep=prep_m, **kwargs)
+
+        if raycast_origins is not None:
+            res = float(model.resolution)
+            pr = point_radius if point_radius is not None else res
+            dt = depth_tolerance if depth_tolerance is not None else 2.0 * res
+            kept = []
+            for m in matches:
+                vis = cast_visibility_multi(
+                    np.asarray(raycast_origins, np.float32),
+                    model.cloud.xyz, model.cloud.valid, jnp.asarray(m.transform),
+                    prep.cloud.xyz, prep.cloud.valid, pr, dt,
+                )
+                from triplet_match_tpu.verify.raycast import cast_score as _cs
+
+                m.cast_score = float(_cs(vis, float(len(m.scene_corrs))))
+                if min_cast_score is None or m.cast_score >= min_cast_score:
+                    kept.append(m)
+            matches = kept
+
+        if consumed_points is None:
+            consumed_points = np.zeros(n, bool)
+        for m in matches:
+            consumed_points[m.scene_corrs] = True
+        all_matches.append(matches)
+    return all_matches
 
 
 def instantiate(model: CompiledModel, match: Match, instantiate_all: bool = True) -> np.ndarray:
