@@ -295,7 +295,7 @@ def search_round(
 LAST_SEARCH_STATS: dict = {}
 
 
-def _publish_stats(stats: dict) -> None:
+def _publish_stats(stats: dict, profiler=None) -> None:
     """Populate the module-level stats snapshot (the reference declares a
     ``statistics{rejection_rate}`` struct but never fills it,
     include/scene:31-33 — ours is real)."""
@@ -303,6 +303,9 @@ def _publish_stats(stats: dict) -> None:
     LAST_SEARCH_STATS.clear()
     LAST_SEARCH_STATS.update(stats)
     LAST_SEARCH_STATS["rejection_rate"] = 1.0 - stats.get("accepted", 0) / fin
+    if profiler is not None and profiler.phases:
+        LAST_SEARCH_STATS["round_ms_avg"] = profiler.phases["round"].value
+        LAST_SEARCH_STATS["profile"] = profiler.report()
 
 
 @dataclasses.dataclass
@@ -347,6 +350,9 @@ def find_all(
     if prep is None:
         prep = prepare_scene(scene_cloud, policy)
 
+    from triplet_match_tpu.utils.timer import Profiler
+
+    profiler = Profiler()
     stats = {"rounds": 0, "hypotheses_scored": 0, "finalists": 0, "accepted": 0}
 
     round_fn = jax.jit(
@@ -367,16 +373,18 @@ def find_all(
     matches: list[Match] = []
     for rnd in range(policy.max_rounds):
         key = jax.random.fold_in(base_key, rnd)
-        res, consumed, fp = round_fn(
-            model, prep, consumed, fp, key, jnp.float32(dist_thres), jnp.float32(model_match_factor)
-        )
+        with profiler.section("round", consumed):
+            res, consumed, fp = round_fn(
+                model, prep, consumed, fp, key, jnp.float32(dist_thres), jnp.float32(model_match_factor)
+            )
+            jax.block_until_ready(res.accept)
         accept = np.asarray(res.accept)
         stats["rounds"] += 1
         stats["hypotheses_scored"] += int(res.hypotheses_scored)
         stats["finalists"] += accept.shape[0]
         stats["accepted"] += int(accept.sum())
         if not accept.any():
-            _publish_stats(stats)
+            _publish_stats(stats, profiler)
             break
         order = np.argsort(-np.asarray(res.count))
         for f in order:
@@ -395,9 +403,9 @@ def find_all(
                 )
             )
             if len(matches) >= policy.max_instances:
-                _publish_stats(stats)
+                _publish_stats(stats, profiler)
                 return matches
-    _publish_stats(stats)
+    _publish_stats(stats, profiler)
     return matches
 
 
