@@ -142,8 +142,10 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False)
             if axis is not None:
                 tg[:3, :3] = tg[:3, :3] @ rotation_matrix(axis, np.pi)
             dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(tg))
-            if float(dt) < best[0]:
-                best = (float(dt), float(np.degrees(float(dr))))
+            dt, dr = float(dt), float(np.degrees(float(dr)))
+            # combined metric: 1 deg of rotation ~ diameter/100 of translation
+            if dt + 0.01 * dr < best[0] + 0.01 * best[1]:
+                best = (dt, dr)
         _emit(name, scene_points=int(scene.capacity), matches=len(matches),
               translation_mm=best[0] * 1000, rotation_deg=best[1],
               cast_score=matches[0].cast_score,

@@ -40,6 +40,8 @@ def icp_refine(
     dist_thres,
     max_iterations: int,
     tight_iterations: int = 2,
+    weighted_distance: bool = False,
+    negative_scores: bool = False,
 ) -> IcpResult:
     """Refine a single pose (use vmap for a batch).
 
@@ -52,7 +54,12 @@ def icp_refine(
     the end, preserving acceptance-count semantics).
     """
     relaxed = 2.0 * dist_thres  # impl/scene.hpp:373,395
-    best = finish_find(model, scene, tangent_mask, consumed, t0, relaxed)
+
+    def _ff(t, thres, exact=False):
+        return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
+                           weighted_distance=weighted_distance, negative_scores=negative_scores)
+
+    best = _ff(t0, relaxed)
     if max_iterations == 0:
         return IcpResult(t0, best, jnp.int32(0))
 
@@ -64,7 +71,7 @@ def icp_refine(
         t_best, corrs, it, _ = state
         w = corrs.valid.astype(jnp.float32)
         t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
-        proj = finish_find(model, scene, tangent_mask, consumed, t_new, relaxed)
+        proj = _ff(t_new, relaxed)
         improved = proj.count >= corrs.count  # strict shrink stops (impl/scene.hpp:396)
         t_next = jnp.where(improved, t_new, t_best)
         corrs_next = jax.tree_util.tree_map(
@@ -86,7 +93,7 @@ def icp_refine(
         def tight_body(_, t):
             # exact (LUT-seeded) correspondences remove the half-voxel
             # quantization bias of the plain LUT in the final fit
-            corrs = finish_find(model, scene, tangent_mask, consumed, t, dist_thres, exact=True)
+            corrs = _ff(t, dist_thres, exact=True)
             w = corrs.valid.astype(jnp.float32)
             t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
             return jnp.where(corrs.count >= 3, t_new, t)
@@ -95,6 +102,6 @@ def icp_refine(
         # clutter-biased pose, so count-gating would reject the better fit.
         # Degenerate (<3 corr) steps are no-ops inside tight_body.
         t_fin = lax.fori_loop(0, tight_iterations, tight_body, t_fin)
-        corrs_fin = finish_find(model, scene, tangent_mask, consumed, t_fin, relaxed)
+        corrs_fin = _ff(t_fin, relaxed)
 
     return IcpResult(t_fin, corrs_fin, iters)

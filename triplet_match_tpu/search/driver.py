@@ -64,7 +64,7 @@ class ScenePrep:
 
 
 @partial(jax.jit, static_argnames=("policy",))
-def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY) -> ScenePrep:
+def _prepare_scene_whole(cloud: cl.PointCloud, policy: SearchPolicy) -> ScenePrep:
     cloud = cl.finite_filter(cloud)
     curv = principal_curvatures(cloud, k=policy.curvature_k)
     tm = edge_mask_op(
@@ -73,6 +73,60 @@ def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY) -
         tangent_norm_threshold=policy.tangent_norm_threshold,
         curvature_ratio_threshold=policy.curvature_ratio_threshold,
     )
+    return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("policy", "chunk"))
+def _edge_chunk(cloud: cl.PointCloud, start, *, policy: SearchPolicy, chunk: int):
+    """Edge classification for one query slice against the full cloud."""
+    from jax import lax
+
+    from triplet_match_tpu.ops.knn import knn as knn_op
+
+    q = lax.dynamic_slice_in_dim(cloud.xyz, start, chunk, axis=0)
+    qn = lax.dynamic_slice_in_dim(cloud.normal, start, chunk, axis=0)
+    qt = lax.dynamic_slice_in_dim(cloud.tangent, start, chunk, axis=0)
+    qv = lax.dynamic_slice_in_dim(cloud.valid, start, chunk, axis=0)
+    idx, _ = knn_op(q, cloud.xyz, cloud.valid, policy.curvature_k, block=512)
+    nbr = cloud.normal[idx]
+    dots = jnp.einsum("nkd,nd->nk", nbr, qn)
+    proj = nbr - dots[..., None] * qn[:, None, :]
+    demean = proj - jnp.mean(proj, axis=1, keepdims=True)
+    cov = jnp.einsum("nkd,nke->nde", demean, demean)
+    evs, _ = jnp.linalg.eigh(cov)
+    pc_min = evs[..., 1]
+    pc_max = evs[..., 2]
+    ratio = jnp.where(pc_max > 0.0, pc_min / jnp.maximum(pc_max, 1e-30), jnp.inf)
+    tnorm = jnp.linalg.norm(qt, axis=-1)
+    return qv & (tnorm > policy.tangent_norm_threshold) & (ratio < policy.curvature_ratio_threshold)
+
+
+def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY,
+                  *, chunk_points: int = 131072) -> ScenePrep:
+    """Per-scene preprocessing (impl/scene.hpp:41-58).
+
+    Million-point scenes run the curvature pass in bounded device programs
+    (the tunnel/runtime limits single-program wall time), chunked over
+    query slices; small scenes run one fused program.
+    """
+    n = cloud.xyz.shape[0]
+    if n <= 2 * chunk_points:
+        return _prepare_scene_whole(cloud, policy)
+
+    cloud = jax.jit(cl.finite_filter)(cloud)
+    nchunks = -(-n // chunk_points)
+    pad = nchunks * chunk_points - n
+    if pad:
+        cloud_p = jax.tree_util.tree_map(
+            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), cloud
+        )
+    else:
+        cloud_p = cloud
+    parts = [
+        _edge_chunk(cloud_p, jnp.int32(i * chunk_points), policy=policy, chunk=chunk_points)
+        for i in range(nchunks)
+    ]
+    tm = jnp.concatenate(parts)[:n] & cloud.valid
     return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
 
 
@@ -179,7 +233,9 @@ def hypothesize_and_score(
             idx = jnp.broadcast_to(nbrs[None, :], (b2 * qcap, ks))
             iv = jnp.broadcast_to(nbr_ok[None, :], (b2 * qcap, ks))
             s, c, _, _ = _score_points(
-                model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres
+                model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
             )
             return jnp.where(ok_b, s, -1.0)
 
@@ -220,7 +276,9 @@ def finalize_round(
     cloud = prep.cloud
     icp = jax.vmap(
         lambda t: icp_refine(
-            model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations
+            model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations,
+            weighted_distance=policy.weighted_distance,
+            negative_scores=policy.negative_scores,
         )
     )(t_best)
     t_fin = icp.transform

@@ -34,11 +34,18 @@ class ScoreResult(NamedTuple):
 
 
 def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
-                  ts, idx, idx_valid, thres, exact: bool = False):
+                  ts, idx, idx_valid, thres, exact: bool = False,
+                  weighted_distance: bool = False, negative_scores: bool = False):
     """Score gathered scene points under poses.
 
     ts: [..., 4, 4]; idx/idx_valid: [..., K]; returns per-point contribution
     pieces reduced over K.  Shared by the hypothesis scorer and finish_find.
+
+    ``weighted_distance`` applies the reference's Gaussian distance weight
+    exp(-d^2 / (2*thres)) (impl/scene.hpp:430,468 — note the denominator is
+    thres, not thres^2, faithfully preserved); ``negative_scores`` subtracts
+    the weight when the nearest model point's tangent kind mismatches
+    (impl/scene.hpp:473-475).  Both default off like the reference.
     """
     r = ts[..., :3, :3]
     pos = scene.xyz[idx]  # [..., K, 3]
@@ -59,16 +66,18 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
     is_tangent = jnp.linalg.norm(mtan, axis=-1) > 0.7
     ref_n = jnp.where(is_tangent[..., None], mtan, model.cloud.normal[midx])
 
-    ok = (
-        idx_valid
-        & scene.valid[idx]
-        & ~consumed[idx]
-        & inb
-        & (dist <= thres)
-        & (use_tangent == is_tangent)
-    )
-    w = jnp.abs(jnp.sum(tref * ref_n, axis=-1))
+    eligible = idx_valid & scene.valid[idx] & ~consumed[idx] & inb & (dist <= thres)
+    kind_ok = use_tangent == is_tangent
+    ok = eligible & kind_ok
+
+    if weighted_distance:
+        weight = jnp.exp(-dist * dist / (2.0 * thres))
+    else:
+        weight = jnp.ones_like(dist)
+    w = weight * jnp.abs(jnp.sum(tref * ref_n, axis=-1))
     score = jnp.sum(jnp.where(ok, w, 0.0), axis=-1)
+    if negative_scores:
+        score = score - jnp.sum(jnp.where(eligible & ~kind_ok, weight, 0.0), axis=-1)
     count = jnp.sum(ok.astype(jnp.int32), axis=-1)
     return score, count, ok, midx
 
@@ -135,7 +144,8 @@ class DenseCorrs(NamedTuple):
 
 
 def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thres,
-                exact: bool = False) -> DenseCorrs:
+                exact: bool = False, weighted_distance: bool = False,
+                negative_scores: bool = False) -> DenseCorrs:
     """Score one pose against ALL scene points -> dense correspondences.
 
     Analog of ``scene::finish_find`` (impl/scene.hpp:100-106): project_ over
@@ -146,7 +156,8 @@ def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thr
     n = scene.xyz.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     score, count, ok, midx = _score_points(
-        model, scene, tangent_mask, consumed, t, idx, jnp.ones(n, bool), thres, exact=exact
+        model, scene, tangent_mask, consumed, t, idx, jnp.ones(n, bool), thres,
+        exact=exact, weighted_distance=weighted_distance, negative_scores=negative_scores,
     )
     return DenseCorrs(model_idx=midx.astype(jnp.int32), valid=ok, score=score, count=count)
 
