@@ -116,6 +116,28 @@ def test_no_match_in_pure_clutter(setup):
     assert matches == []
 
 
+def test_force_up_gate(setup):
+    """force_up (sample_parameters, common:81) rejects poses that tilt the
+    up axis (|1 - R[2,2]| > 0.01, impl/scene.hpp:317-319)."""
+    model, _, _, _ = setup
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    from triplet_match_tpu.io.synthetic import rotation_matrix
+
+    # instance tilted 90 degrees about x: up is NOT preserved
+    r = rotation_matrix([1, 0, 0], np.pi / 2)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, rotation=r, translation=np.zeros(3, np.float32),
+        noise=0.001, n_clutter=200, seed=3,
+    )
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, discretization=DISC,
+                  policy=POLICY, max_icp_iterations=5, seed=13)
+    up_sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95, force_up=True)
+    no_up = find_all(model, scene, sample_params=up_sample, **kwargs)
+    assert no_up == []  # tilted instance rejected by the up gate
+    free = find_all(model, scene, sample_params=SAMPLE, **kwargs)
+    assert free  # without the gate the same scene matches
+
+
 def test_two_instances(setup):
     model, _, _, _ = setup
     xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)

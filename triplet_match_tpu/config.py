@@ -82,6 +82,7 @@ class SearchPolicy:
     # --- TPU batching caps (static shapes; replace dynamic loop bounds) ---
     num_first_samples: int = 256  # RANSAC outer batch per round (outer_bound analog)
     num_second_samples: int = 32  # second points tried per first (inner_bound analog)
+    second_pool: int = 128  # edge-point kNN pool per first for second sampling
     query_cap: int = 16  # model pair candidates gathered per feature query (<= query_limit)
     score_neighbors: int = 512  # scene points scored per hypothesis (radius-search analog)
     finalists: int = 4  # hypotheses promoted to full scoring + ICP per round (best_ts analog, <=5)

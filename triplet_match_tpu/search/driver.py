@@ -173,11 +173,21 @@ def hypothesize_and_score(
     # --- sampling (impl/scene.hpp:131-166, 266-297) ---
     eligible_first = prep.tangent_mask & ~consumed & ~fp_mask & cloud.valid
     firsts = sample_firsts(k1, eligible_first, b1)
+    # scoring neighborhood: nearest points of ANY kind (the project_ subset)
     nbr_idx, nbr_in_r = radius_neighbors(
         cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks, block=min(b1, 256)
     )
+    # second-sample pool: nearest EDGE points within the model diameter.
+    # The reference iterates the full diameter ball (impl/scene.hpp:273) and
+    # skips non-edge points; a k-NN over all points under-reaches the pair
+    # distance band in dense scenes (its radius shrinks with density), so
+    # the pool is restricted to edge candidates — the only valid seconds.
     second_eligible = prep.tangent_mask & ~consumed & cloud.valid
-    seconds = sample_seconds(k2, firsts, nbr_idx, nbr_in_r, second_eligible, b2)
+    pool_idx, pool_in_r = radius_neighbors(
+        cloud.xyz[firsts.idx], cloud.xyz, second_eligible, model.diameter,
+        policy.second_pool, block=min(b1, 256),
+    )
+    seconds = sample_seconds(k2, firsts, pool_idx, pool_in_r, second_eligible, b2)
 
     p0 = cloud.xyz[firsts.idx][:, None, :]  # [B1, 1, 3]
     t0 = cloud.tangent[firsts.idx][:, None, :]
