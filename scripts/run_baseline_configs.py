@@ -191,9 +191,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run all configs in this process (default: one subprocess per config — the TPU runtime degrades after a large program)")
     args = ap.parse_args()
+    wanted = sorted({int(c) for c in args.configs.split(",")})
+
+    if not args.no_isolate and len(wanted) > 1:
+        import subprocess
+
+        for c in wanted:
+            cmd = [sys.executable, os.path.abspath(__file__), "--configs", str(c),
+                   "--no-isolate"] + (["--small"] if args.small else [])
+            res = subprocess.run(cmd)
+            if res.returncode != 0:
+                _emit(f"{c}_FAILED", returncode=res.returncode)
+        return
+
     _setup_jax()
-    wanted = {int(c) for c in args.configs.split(",")}
+    wanted = set(wanted)
 
     if 1 in wanted:
         config1_plane(args.small)

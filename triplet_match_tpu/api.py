@@ -186,6 +186,12 @@ class Scene:
         )
         return matches
 
+    def find(self, model: Model, **kwargs) -> driver.Match | None:
+        """Best single match or None (the reference's single-shot ``find``,
+        commented out upstream at include/scene:606-610 — provided live)."""
+        matches = self.find_all_parallel(model, **kwargs)
+        return matches[0] if matches else None
+
     def instantiate(self, model: Model, match: driver.Match,
                     instantiate_all: bool = True) -> np.ndarray:
         return driver.instantiate(model.compiled, match, instantiate_all)

@@ -100,6 +100,8 @@ class SearchPolicy:
     # (impl/scene.hpp:492-506) batched: coarse pass on a 1/4 neighborhood
     # subsample, full rescore of the per-group top 1/8 poses
     two_phase_scoring: bool = True
+    two_phase_stride: int = 4  # coarse-pass neighborhood subsample stride
+    two_phase_keep_frac: int = 8  # rescore top 1/keep_frac poses per group
 
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()

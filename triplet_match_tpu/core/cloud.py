@@ -136,7 +136,11 @@ def resolution(cloud: PointCloud, block: int = 1024) -> jax.Array:
 def transform_cloud(cloud: PointCloud, t: jax.Array) -> PointCloud:
     """Apply a rigid transform [4,4] to positions and rotate normal/tangent."""
     r = t[:3, :3]
-    xyz = cloud.xyz @ r.T + t[:3, 3]
+    hi = jax.lax.Precision.HIGHEST
+    xyz = jnp.matmul(cloud.xyz, r.T, precision=hi) + t[:3, 3]
     return dataclasses.replace(
-        cloud, xyz=xyz, normal=cloud.normal @ r.T, tangent=cloud.tangent @ r.T
+        cloud,
+        xyz=xyz,
+        normal=jnp.matmul(cloud.normal, r.T, precision=hi),
+        tangent=jnp.matmul(cloud.tangent, r.T, precision=hi),
     )

@@ -14,6 +14,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU f32 matmuls default to bfloat16 passes, which quantizes transformed
+# coordinates by ~1e-3 relative — fatal for mm-level pose math.  Every
+# matmul in this module is pose-critical and pinned to HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _normalize(v, eps=1e-12):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
@@ -36,8 +41,8 @@ def base_transform(src_i, src_j, src_t, tgt_i, tgt_j, tgt_t) -> jax.Array:
 
     base_a = jnp.stack([u_a, v_a, w_a], axis=-1)  # columns
     base_b = jnp.stack([u_b, v_b, w_b], axis=-1)
-    r = base_b @ jnp.swapaxes(base_a, -1, -2)
-    t = tgt_i - jnp.einsum("...ij,...j->...i", r, src_i)
+    r = jnp.matmul(base_b, jnp.swapaxes(base_a, -1, -2), precision=_HI)
+    t = tgt_i - jnp.einsum("...ij,...j->...i", r, src_i, precision=_HI)
 
     out = jnp.zeros(r.shape[:-2] + (4, 4), r.dtype)
     out = out.at[..., :3, :3].set(r)
@@ -60,17 +65,17 @@ def weighted_kabsch(src, dst, w) -> jax.Array:
     """
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
     wn = w / wsum
-    mu_s = jnp.einsum("...n,...nd->...d", wn, src)
-    mu_d = jnp.einsum("...n,...nd->...d", wn, dst)
+    mu_s = jnp.einsum("...n,...nd->...d", wn, src, precision=_HI)
+    mu_d = jnp.einsum("...n,...nd->...d", wn, dst, precision=_HI)
     ds = src - mu_s[..., None, :]
     dd = dst - mu_d[..., None, :]
-    sigma = jnp.einsum("...n,...nd,...ne->...de", wn, dd, ds)  # cov(dst, src)
+    sigma = jnp.einsum("...n,...nd,...ne->...de", wn, dd, ds, precision=_HI)  # cov(dst, src)
 
     u, s, vt = jnp.linalg.svd(sigma)
-    det = jnp.linalg.det(u @ vt)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=_HI))
     fix = jnp.ones(sigma.shape[:-2] + (3,), sigma.dtype).at[..., 2].set(jnp.sign(det))
-    r = u @ (fix[..., :, None] * vt)
-    t = mu_d - jnp.einsum("...ij,...j->...i", r, mu_s)
+    r = jnp.matmul(u, fix[..., :, None] * vt, precision=_HI)
+    t = mu_d - jnp.einsum("...ij,...j->...i", r, mu_s, precision=_HI)
 
     degenerate = jnp.sum(w, axis=-1) <= 1e-12
     eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), r.shape)
@@ -86,14 +91,14 @@ def weighted_kabsch(src, dst, w) -> jax.Array:
 
 def transform_points(t: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply [..., 4, 4] to [..., N, 3]."""
-    return jnp.einsum("...ij,...nj->...ni", t[..., :3, :3], pts) + t[..., None, :3, 3]
+    return jnp.einsum("...ij,...nj->...ni", t[..., :3, :3], pts, precision=_HI) + t[..., None, :3, 3]
 
 
 def invert_rigid(t: jax.Array) -> jax.Array:
     """Inverse of a rigid [..., 4, 4] (R^T, -R^T t)."""
     r = t[..., :3, :3]
     rt = jnp.swapaxes(r, -1, -2)
-    ti = -jnp.einsum("...ij,...j->...i", rt, t[..., :3, 3])
+    ti = -jnp.einsum("...ij,...j->...i", rt, t[..., :3, 3], precision=_HI)
     out = jnp.zeros_like(t)
     out = out.at[..., :3, :3].set(rt)
     out = out.at[..., :3, 3].set(ti)

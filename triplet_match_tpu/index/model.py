@@ -385,7 +385,8 @@ def voxel_query(model: CompiledModel, pos: jax.Array) -> tuple[jax.Array, jax.Ar
     [..., 3] in model/world space; returns (index [...], in_bounds [...]).
     Out-of-grid positions return in_bounds=False (the nullopt branch).
     """
-    v = pos @ model.to_voxel[:3, :3].T + model.to_voxel[:3, 3]
+    v = jnp.matmul(pos, model.to_voxel[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + model.to_voxel[:3, 3]
     ijk = jnp.floor(v).astype(jnp.int32)
     ex, ey, ez = model.lut.shape
     in_bounds = (
@@ -410,7 +411,8 @@ def voxel_query_exact(model: CompiledModel, pos: jax.Array) -> tuple[jax.Array, 
 
     Returns (index [...], in_bounds [...]).
     """
-    v = pos @ model.to_voxel[:3, :3].T + model.to_voxel[:3, 3]
+    v = jnp.matmul(pos, model.to_voxel[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + model.to_voxel[:3, 3]
     base = jnp.floor(v - 0.5).astype(jnp.int32)
     ex, ey, ez = model.lut.shape
     hi = jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.int32)

@@ -57,11 +57,14 @@ def frame_to_g2l(origin: jax.Array, ex: jax.Array, ey: jax.Array, ez: jax.Array)
     return out
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def apply_h(m: jax.Array, p: jax.Array) -> jax.Array:
     """Apply homogeneous [..., 4, 4] to points [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p, precision=_HI) + m[..., :3, 3]
 
 
 def rotate(m: jax.Array, v: jax.Array) -> jax.Array:
     """Apply the rotation block of [..., 4, 4] to vectors [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v, precision=_HI)

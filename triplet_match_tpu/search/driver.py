@@ -229,7 +229,10 @@ def hypothesize_and_score(
         if policy.two_phase_scoring and ks >= 256:
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
-                mode="count", pose_tile=16, interpret=policy.pallas_interpret,
+                mode="count", pose_tile=16,
+                coarse_stride=policy.two_phase_stride,
+                keep_frac=policy.two_phase_keep_frac,
+                interpret=policy.pallas_interpret,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_HI = jax.lax.Precision.HIGHEST  # pose-critical transforms must not drop to bf16 on TPU
+
 from triplet_match_tpu.index.model import CompiledModel, voxel_query, voxel_query_exact
 
 
@@ -49,7 +51,7 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
     """
     r = ts[..., :3, :3]
     pos = scene.xyz[idx]  # [..., K, 3]
-    tpos = jnp.einsum("...ij,...kj->...ki", r, pos) + ts[..., None, :3, 3]
+    tpos = jnp.einsum("...ij,...kj->...ki", r, pos, precision=_HI) + ts[..., None, :3, 3]
 
     if exact:
         midx, inb = voxel_query_exact(model, tpos)  # [..., K]
@@ -60,7 +62,7 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
 
     use_tangent = tangent_mask[idx]  # [..., K]
     ref = jnp.where(use_tangent[..., None], scene.tangent[idx], scene.normal[idx])
-    tref = jnp.einsum("...ij,...kj->...ki", r, ref)
+    tref = jnp.einsum("...ij,...kj->...ki", r, ref, precision=_HI)
 
     mtan = model.cloud.tangent[midx]
     is_tangent = jnp.linalg.norm(mtan, axis=-1) > 0.7

@@ -40,7 +40,8 @@ def _visible_against(targets, t_lambda, dirs, origin, occ, occ_valid, point_radi
     def tile(hit, args):
         occ_b, val_b = args
         rel = occ_b - origin  # [B, 3]
-        lam = jnp.dot(dirs, rel.T, preferred_element_type=jnp.float32)  # [M, B]
+        lam = jnp.dot(dirs, rel.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # [M, B]
         d2 = jnp.sum(rel * rel, axis=-1)[None, :] - lam * lam
         blocked = (
             val_b[None, :]
