@@ -114,6 +114,10 @@ def rotation_angle(r: jax.Array) -> jax.Array:
 
 
 def pose_delta(t_a: jax.Array, t_b: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(translation delta, rotation delta radians) between two rigid poses."""
-    d = invert_rigid(t_a) @ t_b
+    """(translation delta, rotation delta radians) between two rigid poses.
+
+    The composition matmul MUST be exact: arccos((trace-1)/2) near identity
+    amplifies a 1e-3 bf16 trace error into a phantom ~1.5 degree delta.
+    """
+    d = jnp.matmul(invert_rigid(t_a), t_b, precision=_HI)
     return jnp.linalg.norm(d[..., :3, 3], axis=-1), rotation_angle(d[..., :3, :3])

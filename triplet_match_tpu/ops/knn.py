@@ -42,10 +42,19 @@ def _default_ref_block(n: int, block: int) -> int:
 
 
 def pairwise_sqdist(q: jax.Array, r: jax.Array) -> jax.Array:
-    """Approximate squared distances [Q, N] via the matmul expansion."""
+    """Approximate squared distances [Q, N] via the matmul expansion.
+
+    The cross-term matmul is pinned to Precision.HIGH (3-pass bf16 on TPU,
+    ~f32-equivalent mantissa): the TPU default single-pass bf16 introduces
+    absolute d^2 errors of ~1e-1 at unit-scale coordinates, large enough to
+    evict the true nearest neighbor from the candidate top-k entirely (the
+    exact re-rank can only fix ordering *within* the candidates).  Callers
+    should also center coordinates to keep magnitudes small.
+    """
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     rr = jnp.sum(r * r, axis=-1)
-    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGH)
     return jnp.maximum(qq - 2.0 * cross + rr[None, :], 0.0)
 
 
@@ -55,6 +64,11 @@ def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None):
     self_rows: optional [B] global query row ids to exclude (self-match).
     Returns (cand_idx [B, k2] int32, approx_d2 [B, k2]).
     """
+    # center coordinates: the matmul-expansion error scales with |coord|^2,
+    # and candidate selection must not lose the true NN to rounding
+    center = jnp.mean(r, axis=0)
+    qb = qb - center
+    r = r - center
     n = r.shape[0]
     nrb = -(-n // ref_block)
     r_p = _pad_rows(r, nrb * ref_block).reshape(nrb, ref_block, 3)

@@ -51,15 +51,20 @@ def _round_up(x: int, m: int) -> int:
 class ModelPack(NamedTuple):
     """Model arrays staged for the kernel (built once per model).
 
-    channels_d [8, N]: rows 0-2 = xyz, 3 = |xyz|^2, 4 = BIG if NOT edge
-      (penalty folded into the edge-min matmul), 5 = BIG if edge, 6-7 = 0.
+    channels_d [8, N]: rows 0-2 = xyz (CENTERED at the model centroid so the
+      MXU operates on small magnitudes — matmul error scales with |coord|^2),
+      3 = |xyz|^2, 4 = BIG if NOT edge (penalty folded into the edge-min
+      matmul), 5 = BIG if edge, 6-7 = 0.
     channels_w [8, N]: rows 5-7 = ref vector (tangent for edge points,
       normal otherwise), others 0 — the orientation-weight matmul operand.
+    center [3]: the subtracted centroid; pose translations are shifted by it
+      in score_groups_pallas (|tp - mp| is shift-invariant when both move).
     """
 
     channels_d: jax.Array
     channels_w: jax.Array
     n_pad: int
+    center: jax.Array
 
 
 def pack_model(model) -> ModelPack:
@@ -70,7 +75,9 @@ def pack_model(model) -> ModelPack:
     pad = n_pad - n
 
     valid = model.cloud.valid
-    xyz = jnp.where(valid[:, None], xyz, _FAR)
+    wsum = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid[:, None], xyz, 0.0), axis=0) / wsum
+    xyz = jnp.where(valid[:, None], xyz - center, _FAR)
     mtan = model.cloud.tangent
     is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7  # impl/scene.hpp:470
     mref = jnp.where(is_edge[:, None], mtan, model.cloud.normal)
@@ -97,7 +104,7 @@ def pack_model(model) -> ModelPack:
         [zeros, zeros, zeros, zeros, zeros, mref[:, 0], mref[:, 1], mref[:, 2]],
         axis=0,
     )
-    return ModelPack(ch_d, ch_w, n_pad)
+    return ModelPack(ch_d, ch_w, n_pad, center)
 
 
 def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
@@ -123,7 +130,7 @@ def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
 
 
 def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_ref,
-            *, full: bool, pose_tile: int):
+            *, full: bool, pose_tile: int, mxu_precision):
     thres2 = params_ref[0, 0]
     eps = params_ref[0, 1]
 
@@ -162,7 +169,8 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
             axis=0,
         )  # [8, K]
         e = lax.dot_general(
-            a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=mxu_precision,
         )  # [K, N]
 
         emin_e = jnp.min(e + pen_e, axis=1)[None, :]  # [1, K]
@@ -185,7 +193,8 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
                 [zeros, zeros, zeros, zeros, zeros, trx, try_, trz], axis=0
             )
             w = lax.dot_general(
-                a_w, mw_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                a_w, mw_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_precision,
             )  # [K, N]
             kc = kind[0][:, None]  # [K, 1]
             e_kind = e + jnp.where(kc, pen_e, pen_s)
@@ -205,7 +214,7 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
     count_ref[0:1, pl.ds(j, 1), :] = count_row
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "pose_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mode", "pose_tile", "interpret", "mxu_precision"))
 def score_groups_pallas(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] from pack_groups
@@ -215,8 +224,15 @@ def score_groups_pallas(
     mode: str = "full",
     pose_tile: int = 8,
     interpret: bool = False,
+    mxu_precision: str = "default",
 ):
-    """Score all G*Hg poses.  Returns (score [G, Hg], count [G, Hg])."""
+    """Score all G*Hg poses.  Returns (score [G, Hg], count [G, Hg]).
+
+    ``mxu_precision``: "default" (single-pass bf16 on the CENTERED
+    coordinates — production ranking; counts can differ from exact by a few
+    near the distance gate) or "highest" (multi-pass, bit-exact against the
+    jnp oracle; ~5x slower, used by the parity check).
+    """
     g, _, k = groups.shape
     hg = poses.shape[1]
     n = mpack.channels_d.shape[1]
@@ -226,10 +242,17 @@ def score_groups_pallas(
     params = jnp.asarray([[0.0, 1e-6, 0.0, 0.0]], jnp.float32).at[0, 0].set(
         jnp.asarray(dist_thres2, jnp.float32)
     )
+    # model coords are centered in pack_model; |tp - mp| is invariant when
+    # the pose translation shifts by the same center
+    poses = poses.at[..., 9:12].add(-mpack.center)
 
     hgt = hg // pose_tile
     grid = (g, hgt)
-    kernel = functools.partial(_kernel, full=(mode == "full"), pose_tile=pose_tile)
+    # Mosaic supports only DEFAULT and HIGHEST dot precisions
+    prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
+    kernel = functools.partial(
+        _kernel, full=(mode == "full"), pose_tile=pose_tile, mxu_precision=prec
+    )
     score, count = pl.pallas_call(
         kernel,
         grid=grid,
@@ -332,12 +355,14 @@ def score_groups_exact_jnp(model, scene, tangent_mask, consumed, nbr_idx, nbr_va
         ref = jnp.where(use_tan[:, None], scene.tangent[idx], scene.normal[idx])
         elig = iv & scene.valid[idx] & ~consumed[idx]
 
+        hi = jax.lax.Precision.HIGHEST
+
         def one_pose(t):
             r = t[:3, :3]
-            tp = pos @ r.T + t[:3, 3]
+            tp = jnp.matmul(pos, r.T, precision=hi) + t[:3, 3]
             d2 = (
                 jnp.sum(tp * tp, -1, keepdims=True)
-                - 2.0 * tp @ mxyz.T
+                - 2.0 * jnp.matmul(tp, mxyz.T, precision=hi)
                 + jnp.sum(mxyz * mxyz, -1)[None, :]
             )
             d2_e = jnp.min(jnp.where(is_edge[None, :], d2, _BIG), axis=1)
@@ -345,8 +370,8 @@ def score_groups_exact_jnp(model, scene, tangent_mask, consumed, nbr_idx, nbr_va
             dk = jnp.where(use_tan, d2_e, d2_s)
             do = jnp.where(use_tan, d2_s, d2_e)
             ok = elig & (dk <= thres2) & (dk <= do)
-            tref = ref @ r.T
-            w = tref @ mref.T  # [K, N] raw dot; abs after argmin-averaging (as kernel)
+            tref = jnp.matmul(ref, r.T, precision=hi)
+            w = jnp.matmul(tref, mref.T, precision=hi)  # raw dot; abs after argmin-averaging
             ekind = jnp.where(use_tan[:, None], jnp.where(is_edge[None, :], d2, _BIG),
                               jnp.where(is_edge[None, :], _BIG, d2))
             sel = (ekind <= dk[:, None] + 1e-6).astype(jnp.float32)
