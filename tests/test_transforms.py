@@ -109,3 +109,41 @@ def test_transform_points_matches_manual():
     got = np.asarray(transform_points(jnp.asarray(t), jnp.asarray(pts)))
     want = pts @ t[:3, :3].T + t[:3, 3]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gauss_newton_pose_step_recovers_small_offset():
+    """Hybrid point-to-plane Gauss-Newton recovers a small rigid offset."""
+    from triplet_match_tpu.core.transforms import gauss_newton_pose_step, transform_points
+
+    rng = np.random.default_rng(0)
+    # three mutually perpendicular faces + an edge line: full rank (two
+    # parallel planes alone would leave in-plane translation unconstrained —
+    # the defining property of point-to-plane)
+    n_f = 80
+    f1 = np.stack([rng.uniform(-1, 1, n_f), rng.uniform(-1, 1, n_f), np.zeros(n_f)], 1)
+    f2 = np.stack([rng.uniform(-1, 1, n_f), np.zeros(n_f), rng.uniform(-1, 1, n_f)], 1)
+    f3 = np.stack([np.zeros(n_f), rng.uniform(-1, 1, n_f), rng.uniform(-1, 1, n_f)], 1)
+    e = np.stack([rng.uniform(-1, 1, n_f), np.zeros(n_f), np.zeros(n_f)], 1)
+    dst = np.concatenate([f1, f2, f3, e]).astype(np.float32)
+    m_dir = np.concatenate([
+        np.tile([0, 0, 1.0], (n_f, 1)),  # face normals
+        np.tile([0, 1.0, 0], (n_f, 1)),
+        np.tile([1.0, 0, 0], (n_f, 1)),
+        np.tile([1.0, 0, 0], (n_f, 1)),  # edge tangents
+    ]).astype(np.float32)
+    m_kind = np.concatenate([np.zeros(3 * n_f, bool), np.ones(n_f, bool)])
+
+    off = np.eye(4, dtype=np.float32)
+    off[:3, :3] = rotation_matrix([0.3, 1, 0.2], 0.02)
+    off[:3, 3] = [0.01, -0.005, 0.008]
+    src = np.asarray(transform_points(jnp.asarray(off), jnp.asarray(dst)))
+    w = np.ones(dst.shape[0], np.float32)
+
+    upd = gauss_newton_pose_step(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(m_dir), jnp.asarray(m_kind),
+        jnp.asarray(w),
+    )
+    # applying the update should undo the offset (up to linearization error)
+    dt, dr = pose_delta(jnp.asarray(np.linalg.inv(off).astype(np.float32)), upd)
+    assert float(dt) < 2e-4
+    assert float(np.degrees(float(dr))) < 0.02

@@ -103,6 +103,13 @@ class SearchPolicy:
     two_phase_stride: int = 4  # coarse-pass neighborhood subsample stride
     two_phase_keep_frac: int = 8  # rescore top 1/keep_frac poses per group
 
+    # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
+    # corrs constrained along normals, edge corrs perpendicular to tangents)
+    # — an optional strictly-better refinement than the reference's
+    # point-to-point umeyama; most useful on smooth / partially-observed
+    # geometry where point-to-point slides tangentially
+    icp_point_to_plane: bool = False
+
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()
 DEFAULT_DISCRETIZATION = DiscretizationParams()

@@ -89,6 +89,76 @@ def weighted_kabsch(src, dst, w) -> jax.Array:
     return out
 
 
+def gauss_newton_pose_step(src, dst, m_dir, m_kind, w) -> jax.Array:
+    """One Gauss-Newton rigid update for a hybrid point-to-plane objective.
+
+    Minimizes sum_i w_i |M_i (src_i + dx - dst_i)|^2 over the se(3) update
+    dx = (omega, t) linearized at identity (apply to already-transformed
+    src), where M_i projects the residual:
+
+      surface corr (m_kind=0): M = n n^T      (point-to-plane, n = m_dir)
+      edge corr    (m_kind=1): M = I - t t^T  (perpendicular to the edge
+                                               tangent, t = m_dir)
+
+    This is a strictly-better refinement than the reference's point-to-point
+    umeyama (impl/scene.hpp:393): the tangential DOFs of sampled surfaces do
+    not bias the fit.  Returns [4, 4] (the small update as a rigid pose).
+
+    src/dst: [N, 3]; m_dir: [N, 3]; m_kind: [N] bool (True=edge); w: [N].
+    """
+    d = src - dst  # residual vector per corr
+    # M d and M J assembled via the projector action on vectors
+    def project(v):
+        along = jnp.sum(v * m_dir, axis=-1, keepdims=True) * m_dir
+        plane = v - along  # I - t t^T (edge)
+        normal = along  # n n^T (surface)
+        return jnp.where(m_kind[:, None], plane, normal)
+
+    # J columns: d(residual)/d(omega) = -[src]x ; d/dt = I
+    # For each corr, A_i = J^T M J with M idempotent symmetric -> use rows
+    # r_k = M e_k stacked implicitly: accumulate via projected basis action.
+    n = src.shape[0]
+    eye = jnp.eye(3, dtype=src.dtype)
+
+    # Build the 3x6 Jacobian per corr: J = [ -[p]x | I ]
+    px, py, pz = src[:, 0], src[:, 1], src[:, 2]
+    zeros = jnp.zeros_like(px)
+    neg_skew = jnp.stack([
+        jnp.stack([zeros, pz, -py], axis=-1),
+        jnp.stack([-pz, zeros, px], axis=-1),
+        jnp.stack([py, -px, zeros], axis=-1),
+    ], axis=-2)  # [N, 3, 3] = -[p]x
+    j = jnp.concatenate([neg_skew, jnp.broadcast_to(eye, (n, 3, 3))], axis=-1)  # [N,3,6]
+
+    # M J: project each of the 6 columns of J (project is row-batched over corrs)
+    cols = jnp.moveaxis(j, -1, 0)  # [6, N, 3]
+    mcols = jnp.stack([project(c) for c in cols], axis=0)  # [6, N, 3]
+    md = project(d)  # [N, 3]
+
+    ww = w[:, None]
+    a = jnp.einsum("ind,jnd->ij", mcols * ww[None], mcols, precision=_HI)  # [6,6]
+    b = -jnp.einsum("ind,nd->i", mcols * ww[None], md, precision=_HI)  # [6]
+    # Levenberg damping for rank-deficient corr sets
+    a = a + 1e-6 * jnp.trace(a) / 6.0 * jnp.eye(6, dtype=a.dtype)
+    x = jnp.linalg.solve(a, b)
+    omega, trans = x[:3], x[3:]
+
+    angle = jnp.linalg.norm(omega)
+    axis = omega / jnp.maximum(angle, 1e-12)
+    k = jnp.array([
+        [0.0, -axis[2], axis[1]],
+        [axis[2], 0.0, -axis[0]],
+        [-axis[1], axis[0], 0.0],
+    ])
+    r = jnp.eye(3) + jnp.sin(angle) * k + (1.0 - jnp.cos(angle)) * (k @ k)
+
+    out = jnp.zeros((4, 4), src.dtype)
+    out = out.at[:3, :3].set(r)
+    out = out.at[:3, 3].set(trans)
+    out = out.at[3, 3].set(1.0)
+    return out
+
+
 def transform_points(t: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply [..., 4, 4] to [..., N, 3]."""
     return jnp.einsum("...ij,...nj->...ni", t[..., :3, :3], pts, precision=_HI) + t[..., None, :3, 3]

@@ -42,6 +42,7 @@ def icp_refine(
     tight_iterations: int = 2,
     weighted_distance: bool = False,
     negative_scores: bool = False,
+    point_to_plane: bool = False,
 ) -> IcpResult:
     """Refine a single pose (use vmap for a batch).
 
@@ -95,7 +96,29 @@ def icp_refine(
             # quantization bias of the plain LUT in the final fit
             corrs = _ff(t, dist_thres, exact=True)
             w = corrs.valid.astype(jnp.float32)
-            t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
+            if point_to_plane:
+                # hybrid Gauss-Newton: point-to-plane for surface corrs,
+                # perpendicular-to-tangent for edge corrs — unbiased by the
+                # tangential sliding of sampled surfaces (beats the
+                # reference's point-to-point umeyama under noise)
+                from triplet_match_tpu.core.transforms import (
+                    gauss_newton_pose_step, transform_points,
+                )
+
+                src = transform_points(t, scene.xyz)
+                midx = corrs.model_idx
+                mtan = model.cloud.tangent[midx]
+                is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7
+                m_dir = jnp.where(is_edge[:, None], mtan, model.cloud.normal[midx])
+                m_dir = m_dir / jnp.maximum(
+                    jnp.linalg.norm(m_dir, axis=-1, keepdims=True), 1e-12
+                )
+                upd = gauss_newton_pose_step(
+                    src, model.cloud.xyz[midx], m_dir, is_edge, w
+                )
+                t_new = upd @ t
+            else:
+                t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
             return jnp.where(corrs.count >= 3, t_new, t)
 
         # Unconditional: the relaxed corr count slightly *prefers* the

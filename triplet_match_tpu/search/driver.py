@@ -292,6 +292,7 @@ def finalize_round(
             model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations,
             weighted_distance=policy.weighted_distance,
             negative_scores=policy.negative_scores,
+            point_to_plane=policy.icp_point_to_plane,
         )
     )(t_best)
     t_fin = icp.transform
