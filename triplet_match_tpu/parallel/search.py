@@ -44,6 +44,7 @@ def search_round_dp(
     key: jax.Array,
     dist_thres,
     model_match_factor,
+    mpack=None,
     *,
     discretization: DiscretizationParams,
     sample_params: SampleParams,
@@ -59,11 +60,11 @@ def search_round_dp(
     axis = mesh.axis_names[0]
     fin = policy.finalists
 
-    def per_chip(model, prep, consumed, fp_mask, key):
+    def per_chip(model, prep, consumed, fp_mask, key, mpack):
         me = lax.axis_index(axis)
         key_d = jax.random.fold_in(key, me)
         ts_flat, scores, first_idx, first_valid, n_hyp = hypothesize_and_score(
-            model, prep, consumed, fp_mask, key_d, dist_thres,
+            model, prep, consumed, fp_mask, key_d, dist_thres, mpack,
             discretization=discretization, sample_params=sample_params, policy=policy,
         )
         _, best = lax.top_k(scores, fin)
@@ -80,11 +81,11 @@ def search_round_dp(
     shard = jax.shard_map(
         per_chip,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    t_all, s_all, fi_all, fv_all, n_hyp = shard(model, prep, consumed, fp_mask, key)
+    t_all, s_all, fi_all, fv_all, n_hyp = shard(model, prep, consumed, fp_mask, key, mpack)
 
     # keep the global top-F among the gathered per-chip finalists
     _, best = lax.top_k(s_all, fin)

@@ -147,6 +147,7 @@ def hypothesize_and_score(
     fp_mask: jax.Array,
     key: jax.Array,
     dist_thres,
+    mpack=None,  # score_pallas.ModelPack, built OUTSIDE jit (host compaction)
     *,
     discretization: DiscretizationParams,
     sample_params: SampleParams,
@@ -216,14 +217,10 @@ def hypothesize_and_score(
         hyp_ok = hyp_ok & (jnp.abs(1.0 - ts[..., 2, 2]) <= 0.01)
 
     # --- batched project_ scoring ---
-    use_pallas = policy.scorer == "pallas" or (
-        policy.scorer == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if mpack is not None:
         # fused MXU kernel: exact-NN count ranking (score_pallas.py)
         from triplet_match_tpu.search import score_pallas as sp
 
-        mpack = sp.pack_model(model)
         groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r)
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
         if policy.two_phase_scoring and ks >= 256:
@@ -344,6 +341,7 @@ def search_round(
     key: jax.Array,
     dist_thres,
     model_match_factor,
+    mpack=None,
     *,
     discretization: DiscretizationParams,
     sample_params: SampleParams,
@@ -352,7 +350,7 @@ def search_round(
 ):
     """One jitted single-chip search round.  Returns (RoundResult, consumed', fp')."""
     ts_flat, scores, first_idx, first_valid, n_hyp = hypothesize_and_score(
-        model, prep, consumed, fp_mask, key, dist_thres,
+        model, prep, consumed, fp_mask, key, dist_thres, mpack,
         discretization=discretization, sample_params=sample_params, policy=policy,
     )
     _, best = jax.lax.top_k(scores, policy.finalists)
@@ -427,6 +425,15 @@ def find_all(
     profiler = Profiler()
     stats = {"rounds": 0, "hypotheses_scored": 0, "finalists": 0, "accepted": 0}
 
+    use_pallas = policy.scorer == "pallas" or (
+        policy.scorer == "auto" and jax.default_backend() == "tpu"
+    )
+    mpack = None
+    if use_pallas:
+        from triplet_match_tpu.search import score_pallas as sp
+
+        mpack = sp.pack_model(model)  # host compaction; once per model
+
     round_fn = jax.jit(
         partial(
             search_round,
@@ -447,7 +454,8 @@ def find_all(
         key = jax.random.fold_in(base_key, rnd)
         with profiler.section("round", consumed):
             res, consumed, fp = round_fn(
-                model, prep, consumed, fp, key, jnp.float32(dist_thres), jnp.float32(model_match_factor)
+                model, prep, consumed, fp, key, jnp.float32(dist_thres),
+                jnp.float32(model_match_factor), mpack
             )
             jax.block_until_ready(res.accept)
         accept = np.asarray(res.accept)

@@ -65,46 +65,72 @@ class ModelPack(NamedTuple):
     channels_w: jax.Array
     n_pad: int
     center: jax.Array
+    md_edge: jax.Array  # [8, NeP] compact edge-point block (count mode)
+    md_surf: jax.Array  # [8, NsP] compact surface-point block (count mode)
 
 
 def pack_model(model) -> ModelPack:
-    """Stage a CompiledModel's cloud for gather-free scoring."""
-    xyz = model.cloud.xyz
+    """Stage a CompiledModel's cloud for gather-free scoring.
+
+    Host-side (numpy): the edge/surface split requires concrete edge counts
+    to size the compact blocks — call OUTSIDE jit, once per model, and pass
+    the pack into the jitted search.
+    """
+    import numpy as np
+
+    xyz = np.asarray(model.cloud.xyz, np.float32)
     n = xyz.shape[0]
     n_pad = _round_up(n, 128)
     pad = n_pad - n
 
-    valid = model.cloud.valid
-    wsum = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    center = jnp.sum(jnp.where(valid[:, None], xyz, 0.0), axis=0) / wsum
-    xyz = jnp.where(valid[:, None], xyz - center, _FAR)
-    mtan = model.cloud.tangent
-    is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7  # impl/scene.hpp:470
-    mref = jnp.where(is_edge[:, None], mtan, model.cloud.normal)
+    valid = np.asarray(model.cloud.valid)
+    center = xyz[valid].mean(axis=0) if valid.any() else np.zeros(3, np.float32)
+    xyz = np.where(valid[:, None], xyz - center, _FAR).astype(np.float32)
+    mtan = np.asarray(model.cloud.tangent, np.float32)
+    is_edge = (np.linalg.norm(mtan, axis=-1) > 0.7) & valid  # impl/scene.hpp:470
+    mref = np.where(is_edge[:, None], mtan, np.asarray(model.cloud.normal, np.float32))
 
-    def padn(a, fill=0.0):
-        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+    def padn(a, fill=0.0, to=n_pad):
+        extra = to - a.shape[0]
+        shape = (extra,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, a.dtype)], axis=0)
 
-    xyz = padn(xyz, _FAR)
-    mref = padn(mref)
-    is_edge = padn(is_edge, False)
-    mp2 = jnp.sum(xyz * xyz, axis=-1)
+    xyz_p = padn(xyz, _FAR)
+    mref_p = padn(mref)
+    is_edge_p = padn(is_edge, False)
+    mp2 = np.sum(xyz_p * xyz_p, axis=-1)
 
-    zeros = jnp.zeros((n_pad,), jnp.float32)
-    ch_d = jnp.stack(
+    zeros = np.zeros((n_pad,), np.float32)
+    ch_d = np.stack(
         [
-            xyz[:, 0], xyz[:, 1], xyz[:, 2], mp2,
-            jnp.where(is_edge, 0.0, _BIG),  # channel 4: +penalty row for the edge-min
-            jnp.where(is_edge, _BIG, 0.0),  # channel 5: +penalty row for the surf-min
+            xyz_p[:, 0], xyz_p[:, 1], xyz_p[:, 2], mp2,
+            np.where(is_edge_p, 0.0, float(_BIG)),  # +penalty row for the edge-min
+            np.where(is_edge_p, float(_BIG), 0.0),  # +penalty row for the surf-min
             zeros, zeros,
         ],
         axis=0,
-    )
-    ch_w = jnp.stack(
-        [zeros, zeros, zeros, zeros, zeros, mref[:, 0], mref[:, 1], mref[:, 2]],
+    ).astype(np.float32)
+    ch_w = np.stack(
+        [zeros, zeros, zeros, zeros, zeros, mref_p[:, 0], mref_p[:, 1], mref_p[:, 2]],
         axis=0,
+    ).astype(np.float32)
+
+    def block(mask):
+        pts = xyz[valid & mask] if mask.shape == valid.shape else xyz[mask]
+        npts = max(pts.shape[0], 1)
+        bp = _round_up(npts, 128)
+        pts = padn(pts.astype(np.float32), _FAR, to=bp)
+        p2 = np.sum(pts * pts, axis=-1)
+        z = np.zeros((bp,), np.float32)
+        return np.stack([pts[:, 0], pts[:, 1], pts[:, 2], p2, z, z, z, z], axis=0).astype(np.float32)
+
+    md_edge = block(is_edge)
+    md_surf = block(valid & ~is_edge)
+
+    return ModelPack(
+        jnp.asarray(ch_d), jnp.asarray(ch_w), n_pad, jnp.asarray(center),
+        jnp.asarray(md_edge), jnp.asarray(md_surf),
     )
-    return ModelPack(ch_d, ch_w, n_pad, center)
 
 
 def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
@@ -129,8 +155,8 @@ def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
     )  # [G, 8, K]
 
 
-def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_ref,
-            *, full: bool, pose_tile: int, mxu_precision):
+def _kernel(params_ref, poses_ref, scene_ref, me_ref, ms_ref, md_ref, mw_ref,
+            score_ref, count_ref, *, full: bool, pose_tile: int, mxu_precision):
     thres2 = params_ref[0, 0]
     eps = params_ref[0, 1]
 
@@ -143,9 +169,12 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
     kind = use_tan > 0.5
     ones = jnp.ones_like(px)
     zeros = jnp.zeros_like(px)
-    md = md_ref[:]  # [8, N]
-    pen_e = md[4:5, :]  # [1, N] +BIG where NOT edge
-    pen_s = md[5:6, :]  # [1, N] +BIG where edge
+    me = me_ref[:]  # [8, NeP] compact edge block
+    ms = ms_ref[:]  # [8, NsP] compact surface block
+    if full:
+        md = md_ref[:]  # [8, N] full block with penalty rows
+        pen_e = md[4:5, :]  # [1, N] +BIG where NOT edge
+        pen_s = md[5:6, :]  # [1, N] +BIG where edge
 
     counts = []
     scores = []
@@ -162,19 +191,24 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
         tp2 = tpx * tpx + tpy * tpy + tpz * tpz
 
         # E = mp2 - 2 tp.mp straight off the MXU: scene channels (-2 tp, 1),
-        # model channels (mp, mp2).  ONE matmul per pose; the kind penalties
-        # are additive [1, N] rows fused into the min sweeps.
+        # model channels (mp, mp2).  The tangent-kind gate uses two compact
+        # blocks (edge / surface) so each min sweeps only its own points —
+        # half the VPU work of a penalty-row sweep over the full cloud.
         a = jnp.concatenate(
             [-2.0 * tpx, -2.0 * tpy, -2.0 * tpz, ones, zeros, zeros, zeros, zeros],
             axis=0,
         )  # [8, K]
-        e = lax.dot_general(
-            a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        e_e = lax.dot_general(
+            a, me, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=mxu_precision,
-        )  # [K, N]
+        )  # [K, NeP]
+        e_s = lax.dot_general(
+            a, ms, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )  # [K, NsP]
 
-        emin_e = jnp.min(e + pen_e, axis=1)[None, :]  # [1, K]
-        emin_s = jnp.min(e + pen_s, axis=1)[None, :]
+        emin_e = jnp.min(e_e, axis=1)[None, :]  # [1, K]
+        emin_s = jnp.min(e_s, axis=1)[None, :]
         d2_e = tp2 + emin_e
         d2_s = tp2 + emin_s
 
@@ -186,6 +220,10 @@ def _kernel(params_ref, poses_ref, scene_ref, md_ref, mw_ref, score_ref, count_r
         counts.append(cnt)
 
         if full:
+            e = lax.dot_general(
+                a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )  # [K, N] full block for argmin selection
             trx = r00 * rx + r01 * ry + r02 * rz
             try_ = r10 * rx + r11 * ry + r12 * rz
             trz = r20 * rx + r21 * ry + r22 * rz
@@ -236,6 +274,8 @@ def score_groups_pallas(
     g, _, k = groups.shape
     hg = poses.shape[1]
     n = mpack.channels_d.shape[1]
+    ne = mpack.md_edge.shape[1]
+    ns = mpack.md_surf.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
 
@@ -260,6 +300,8 @@ def score_groups_pallas(
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((8, ne), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, ns), lambda i, j: (0, 0)),
             pl.BlockSpec((8, n), lambda i, j: (0, 0)),
             pl.BlockSpec((8, n), lambda i, j: (0, 0)),
         ],
@@ -274,7 +316,8 @@ def score_groups_pallas(
             jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
         ],
         interpret=interpret,
-    )(params, poses.reshape(g, hg, 16), groups, mpack.channels_d, mpack.channels_w)
+    )(params, poses.reshape(g, hg, 16), groups, mpack.md_edge, mpack.md_surf,
+      mpack.channels_d, mpack.channels_w)
     return score.reshape(g, hg), count.reshape(g, hg).astype(jnp.int32)
 
 
