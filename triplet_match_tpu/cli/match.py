@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-diameter-factor", type=float, default=0.3)
     p.add_argument("--max-diameter-factor", type=float, default=0.95)
     p.add_argument("--force-up", action="store_true")
+    p.add_argument("--estimate-tangents", action="store_true",
+                   help="derive edge tangents geometrically (normal x pc_max_dir) "
+                        "for clouds that lack tangent fields")
     p.add_argument("--save-model", help="serialize the compiled model index (.npz)")
     p.add_argument("--out", help="write matches as JSON")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -75,12 +78,26 @@ def main(argv=None) -> int:
         force_up=args.force_up,
     )
 
+    def maybe_estimate(cloud, what):
+        import dataclasses as _dc
+
+        if not args.estimate_tangents:
+            return cloud
+        from triplet_match_tpu.ops.curvature import estimate_edge_tangents
+
+        import jax.numpy as _jnp
+
+        est = estimate_edge_tangents(cloud, k=30)
+        n_est = int((_jnp.linalg.norm(est, axis=-1) > 0.5).sum())
+        log(f"{what}: estimated tangents for {n_est} edge points")
+        return _dc.replace(cloud, tangent=est)
+
     t0 = time.perf_counter()
     if args.model_pcd.endswith(".npz"):
         model = Model.load(args.model_pcd, disc)
         log(f"loaded compiled model: {args.model_pcd}")
     else:
-        model_cloud = read_pcd(args.model_pcd)
+        model_cloud = maybe_estimate(read_pcd(args.model_pcd), "model")
         log(f"model: {int(model_cloud.count())} points")
         model = Model(model_cloud, disc).init(sample)
     log(f"model ready in {time.perf_counter() - t0:.2f}s: "
@@ -90,7 +107,7 @@ def main(argv=None) -> int:
         model.save(args.save_model)
         log(f"compiled model saved to {args.save_model}")
 
-    scene_cloud = read_pcd(args.scene_pcd)
+    scene_cloud = maybe_estimate(read_pcd(args.scene_pcd), "scene")
     log(f"scene: {int(scene_cloud.count())} points")
     scene = Scene(scene_cloud)
 
