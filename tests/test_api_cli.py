@@ -105,3 +105,20 @@ def test_cli_end_to_end(tmp_path, data):
     dt, dr = pose_delta(jnp.asarray(t), jnp.asarray(t_gt))
     assert float(dt) < 8e-3
     assert (tmp_path / "m.npz").exists()
+
+
+def test_search_from_serialized_model_identical(tmp_path, data):
+    """A saved+loaded compiled model produces bitwise-identical matches."""
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    p = str(tmp_path / "m.npz")
+    model.save(p)
+    model2 = Model.load(p, DISC, POLICY)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE, seed=13)
+    m1 = Scene(scene_cloud, POLICY).find_all_parallel(model, **kwargs)
+    m2 = Scene(scene_cloud, POLICY).find_all_parallel(model2, **kwargs)
+    assert len(m1) == len(m2) >= 1
+    for a, b in zip(m1, m2):
+        np.testing.assert_array_equal(a.transform, b.transform)
+        np.testing.assert_array_equal(a.scene_corrs, b.scene_corrs)
+        np.testing.assert_array_equal(a.model_corrs, b.model_corrs)

@@ -162,3 +162,34 @@ def test_detect_cylinder_in_clutter():
     assert abs(float(det.state.radius) - 0.5) < 0.05
     assert inl[:n_cyl].mean() > 0.9
     assert inl[n_cyl:].mean() < 0.05
+
+
+def test_cylinder_pushforward_matches_autodiff():
+    """The hand-derived chart Jacobian pushforward (impl/cylinder_traits.hpp:132-154)
+    must agree with jax.jacfwd of the projection."""
+
+    def proj_u(state, xyz):
+        loc = np.asarray(state.g2l)[:3, :3] @ xyz + np.asarray(state.g2l)[:3, 3]
+        return loc
+
+    state = cyl.CylinderState(jnp.eye(4), jnp.eye(4), jnp.zeros(3), jnp.float32(0.7), jnp.float32(0.5))
+
+    def chart(p):
+        uvw, _ = cyl.project(state, p)
+        return uvw
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        theta = rng.uniform(0.3, 5.0)  # stay off the atan2 seam
+        p = jnp.asarray([0.7 * np.cos(theta), 0.7 * np.sin(theta), rng.uniform(-1, 1)],
+                        jnp.float32)
+        v = rng.normal(size=3).astype(np.float32)
+        # tangent vector must be tangent to the cylinder (perp to radial dir)
+        radial = np.array([np.cos(theta), np.sin(theta), 0], np.float32)
+        v = v - (v @ radial) * radial
+        v /= np.linalg.norm(v)
+        jac = jax.jacfwd(chart)(p)  # [3, 3]
+        want = np.asarray(jac) @ v
+        want /= np.linalg.norm(want)
+        got = np.asarray(cyl.tangent(state, p, jnp.asarray(v)))
+        np.testing.assert_allclose(np.abs(got @ want), 1.0, atol=1e-4)
