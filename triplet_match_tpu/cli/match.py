@@ -46,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "for clouds that lack tangent fields")
     p.add_argument("--save-model", help="serialize the compiled model index (.npz)")
     p.add_argument("--out", help="write matches as JSON")
+    p.add_argument("--profile-dir", help="capture a jax.profiler device trace of the search")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -113,15 +114,24 @@ def main(argv=None) -> int:
 
     bar = None if args.quiet else ProgressBar(prefix="search ")
     t1 = time.perf_counter()
-    matches = scene.find_all_parallel(
-        model,
-        dist_thres=args.dist_thres,
-        model_match_factor=args.model_match_factor,
-        early_out_factor=args.early_out_factor,
-        sample_params=sample,
-        max_icp_iterations=args.max_icp,
-        seed=args.seed,
-    )
+
+    import contextlib
+
+    from triplet_match_tpu.utils.trace import device_trace
+
+    tracer = device_trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    with tracer:
+        matches = scene.find_all_parallel(
+            model,
+            dist_thres=args.dist_thres,
+            model_match_factor=args.model_match_factor,
+            early_out_factor=args.early_out_factor,
+            sample_params=sample,
+            max_icp_iterations=args.max_icp,
+            seed=args.seed,
+        )
+    if args.profile_dir:
+        log(f"device trace written to {args.profile_dir}")
     dt = time.perf_counter() - t1
     if bar:
         bar.finish()
