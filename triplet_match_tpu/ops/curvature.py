@@ -31,7 +31,9 @@ class CurvatureInfo(NamedTuple):
 
 def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureInfo:
     """Per-point principal curvature info over the full (padded) cloud."""
-    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block)  # [N, k]
+    # approximate candidate precision: curvature is a neighborhood statistic
+    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block,
+                 approx_candidates=True)  # [N, k]
     nbr_normals = cloud.normal[idx]  # [N, k, 3]
 
     n = cloud.normal

@@ -41,24 +41,31 @@ def _default_ref_block(n: int, block: int) -> int:
     return min(n, cap)
 
 
-def pairwise_sqdist(q: jax.Array, r: jax.Array) -> jax.Array:
+def pairwise_sqdist(q: jax.Array, r: jax.Array,
+                    precision=jax.lax.Precision.HIGH) -> jax.Array:
     """Approximate squared distances [Q, N] via the matmul expansion.
 
-    The cross-term matmul is pinned to Precision.HIGH (3-pass bf16 on TPU,
+    The cross-term matmul defaults to Precision.HIGH (3-pass bf16 on TPU,
     ~f32-equivalent mantissa): the TPU default single-pass bf16 introduces
     absolute d^2 errors of ~1e-1 at unit-scale coordinates, large enough to
     evict the true nearest neighbor from the candidate top-k entirely (the
     exact re-rank can only fix ordering *within* the candidates).  Callers
     should also center coordinates to keep magnitudes small.
+
+    Callers that only need an approximate neighbor *set* (curvature
+    statistics, scoring neighborhoods, sampling pools) may pass
+    Precision.DEFAULT for ~3x less MXU work — a borderline neighbor
+    swapping in or out of a set is harmless there, unlike a missed true
+    nearest neighbor in a correspondence.
     """
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     rr = jnp.sum(r * r, axis=-1)
-    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGH)
+    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32, precision=precision)
     return jnp.maximum(qq - 2.0 * cross + rr[None, :], 0.0)
 
 
-def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None):
+def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None,
+                     precision=jax.lax.Precision.HIGH):
     """Running top-k2 candidates of query block ``qb`` over scanned ref blocks.
 
     self_rows: optional [B] global query row ids to exclude (self-match).
@@ -79,7 +86,7 @@ def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None):
     def body(carry, args):
         best_d2, best_idx = carry
         rb_i, r_b, inf_b = args
-        d2 = pairwise_sqdist(qb, r_b) + inf_b[None, :]
+        d2 = pairwise_sqdist(qb, r_b, precision=precision) + inf_b[None, :]
         if self_rows is not None:
             col = rb_i * ref_block + jnp.arange(ref_block, dtype=jnp.int32)
             d2 = jnp.where(self_rows[:, None] == col[None, :], _INF, d2)
@@ -106,8 +113,14 @@ def knn(
     *,
     block: int = 1024,
     ref_block: int | None = None,
+    approx_candidates: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest reference points for each query point (exact distances).
+
+    ``approx_candidates=True`` runs the candidate scan at DEFAULT matmul
+    precision (~3x faster on TPU) — the returned distances stay exact, but
+    a borderline candidate may be missed; use only where the neighbor SET
+    is statistical (curvature, sampling pools), never for correspondences.
 
     Replaces ``pointcloud::knn_inclusive`` (/root/reference/include/impl/pointcloud.hpp:138-146).
 
@@ -131,8 +144,10 @@ def knn(
     qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
     inf_row = jnp.where(r_valid, 0.0, _INF)
 
+    prec = jax.lax.Precision.DEFAULT if approx_candidates else jax.lax.Precision.HIGH
+
     def tile(qb):
-        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb)
+        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb, precision=prec)
         cpos = r[cand]
         d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
         neg, pos = lax.top_k(-d2, k)
@@ -206,6 +221,7 @@ def radius_neighbors(
     *,
     block: int = 256,
     ref_block: int | None = None,
+    approx_candidates: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Up to ``k`` nearest neighbors within ``radius`` (pad-and-mask).
 
@@ -216,5 +232,6 @@ def radius_neighbors(
     Returns:
       (indices [Q, k] int32, mask [Q, k] bool).
     """
-    idx, d2 = knn(q, r, r_valid, k, block=block, ref_block=ref_block)
+    idx, d2 = knn(q, r, r_valid, k, block=block, ref_block=ref_block,
+                  approx_candidates=approx_candidates)
     return idx, d2 <= jnp.asarray(radius, jnp.float32) ** 2

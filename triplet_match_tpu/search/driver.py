@@ -87,7 +87,8 @@ def _edge_chunk(cloud: cl.PointCloud, start, *, policy: SearchPolicy, chunk: int
     qn = lax.dynamic_slice_in_dim(cloud.normal, start, chunk, axis=0)
     qt = lax.dynamic_slice_in_dim(cloud.tangent, start, chunk, axis=0)
     qv = lax.dynamic_slice_in_dim(cloud.valid, start, chunk, axis=0)
-    idx, _ = knn_op(q, cloud.xyz, cloud.valid, policy.curvature_k, block=512)
+    idx, _ = knn_op(q, cloud.xyz, cloud.valid, policy.curvature_k, block=512,
+                    approx_candidates=True)
     nbr = cloud.normal[idx]
     dots = jnp.einsum("nkd,nd->nk", nbr, qn)
     proj = nbr - dots[..., None] * qn[:, None, :]
@@ -176,7 +177,8 @@ def hypothesize_and_score(
     firsts = sample_firsts(k1, eligible_first, b1)
     # scoring neighborhood: nearest points of ANY kind (the project_ subset)
     nbr_idx, nbr_in_r = radius_neighbors(
-        cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks, block=min(b1, 256)
+        cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks,
+        block=min(b1, 256), approx_candidates=True,
     )
     # second-sample pool: nearest EDGE points within the model diameter.
     # The reference iterates the full diameter ball (impl/scene.hpp:273) and
@@ -186,7 +188,7 @@ def hypothesize_and_score(
     second_eligible = prep.tangent_mask & ~consumed & cloud.valid
     pool_idx, pool_in_r = radius_neighbors(
         cloud.xyz[firsts.idx], cloud.xyz, second_eligible, model.diameter,
-        policy.second_pool, block=min(b1, 256),
+        policy.second_pool, block=min(b1, 256), approx_candidates=True,
     )
     seconds = sample_seconds(k2, firsts, pool_idx, pool_in_r, second_eligible, b2)
 
