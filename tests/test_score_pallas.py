@@ -151,3 +151,31 @@ def test_true_pose_scores_higher_than_junk(setup):
     c = np.asarray(c)
     hg = c.shape[1]
     assert c[:, : hg // 2].min() > c[:, hg // 2 :].max()
+
+
+def test_find_all_two_phase_pallas(setup):
+    """Driver two-phase scoring path (score_neighbors >= 256 turns it on)."""
+    import dataclasses
+
+    from triplet_match_tpu.core.transforms import pose_delta
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.search.driver import find_all
+
+    model, prep, *_ = setup
+    policy = dataclasses.replace(
+        POLICY,
+        num_first_samples=16, num_second_samples=8, query_cap=8,  # 64 poses/group
+        score_neighbors=256, finalists=2, max_rounds=2,
+        scorer="pallas", pallas_interpret=True, two_phase_scoring=True,
+    )
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    matches = find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert matches
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.6
