@@ -155,8 +155,8 @@ def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
     )  # [G, 8, K]
 
 
-def _kernel(params_ref, poses_ref, scene_ref, me_ref, ms_ref, md_ref, mw_ref,
-            score_ref, count_ref, *, full: bool, pose_tile: int, mxu_precision):
+def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_ref,
+            mw_ref, score_ref, count_ref, *, full: bool, pose_tile: int, mxu_precision):
     thres2 = params_ref[0, 0]
     eps = params_ref[0, 1]
 
@@ -234,9 +234,11 @@ def _kernel(params_ref, poses_ref, scene_ref, me_ref, ms_ref, md_ref, mw_ref,
                 a_w, mw_ref[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=mxu_precision,
             )  # [K, N]
-            kc = kind[0][:, None]  # [K, 1]
+            # per-point kind in COLUMN orientation comes as an input: an
+            # in-kernel (1,K)->(K,1) transpose crashes the Mosaic compiler
+            kc = kindcol_ref[0] > 0.5  # [K, 1]
             e_kind = e + jnp.where(kc, pen_e, pen_s)
-            emin_kind = jnp.where(kind, emin_e, emin_s)[0][:, None]
+            emin_kind = jnp.min(e_kind, axis=1, keepdims=True)  # [K, 1]
             sel = (e_kind <= emin_kind + eps).astype(jnp.float32)
             wsum = jnp.sum(w * sel, axis=1)
             ssum = jnp.maximum(jnp.sum(sel, axis=1), 1.0)
@@ -285,6 +287,8 @@ def score_groups_pallas(
     # model coords are centered in pack_model; |tp - mp| is invariant when
     # the pose translation shifts by the same center
     poses = poses.at[..., 9:12].add(-mpack.center)
+    # per-point kind, pre-transposed to column orientation for the kernel
+    kind_col = jnp.swapaxes(groups[:, 3:4, :], 1, 2)  # [G, K, 1]
 
     hgt = hg // pose_tile
     grid = (g, hgt)
@@ -300,6 +304,7 @@ def score_groups_pallas(
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((8, ne), lambda i, j: (0, 0)),
             pl.BlockSpec((8, ns), lambda i, j: (0, 0)),
             pl.BlockSpec((8, n), lambda i, j: (0, 0)),
@@ -316,8 +321,8 @@ def score_groups_pallas(
             jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
         ],
         interpret=interpret,
-    )(params, poses.reshape(g, hg, 16), groups, mpack.md_edge, mpack.md_surf,
-      mpack.channels_d, mpack.channels_w)
+    )(params, poses.reshape(g, hg, 16), groups, kind_col, mpack.md_edge,
+      mpack.md_surf, mpack.channels_d, mpack.channels_w)
     return score.reshape(g, hg), count.reshape(g, hg).astype(jnp.int32)
 
 
