@@ -179,3 +179,41 @@ def test_find_all_two_phase_pallas(setup):
     dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
     assert float(dt) < 6e-3
     assert float(np.degrees(float(dr))) < 0.6
+
+
+def test_two_phase_invalid_poses_cannot_evict_valid(setup):
+    """Invalid hypotheses must not occupy coarse-phase keep slots.
+
+    An invalid hypothesis's transform is arbitrary (failed pair gate, padded
+    query slot) and can coarse-score arbitrarily high; with keep slots filled
+    by invalid near-true poses, a valid pose would be dropped to -1 forever.
+    """
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+
+    g, hg = ts.shape[:2]
+    # every pose is the near-true (high-scoring) pose...
+    ts_all = jnp.broadcast_to(ts[:, :1], (g, hg, 4, 4))
+    # ...but only the LAST pose per group is a valid hypothesis
+    ok = jnp.zeros((g, hg), bool).at[:, -1].set(True)
+
+    # keep = pose_tile = 4 slots out of hg=8: without masking, invalid
+    # copies (indices 0..3 win top_k ties) fill all keep slots
+    s, c = score_groups_two_phase(
+        mpack, groups, poses_to_rows(ts_all), thres2, ok,
+        mode="count", pose_tile=4, coarse_stride=4, keep_frac=2, interpret=True,
+    )
+    s, c = np.asarray(s), np.asarray(c)
+    s_ref, c_ref = score_groups_pallas(
+        mpack, groups, poses_to_rows(ts_all), thres2, mode="count",
+        pose_tile=4, interpret=True,
+    )
+    # the valid pose survives with its full score; all invalid ones are -1
+    np.testing.assert_array_equal(s[:, -1], np.asarray(s_ref)[:, -1])
+    assert (s[:, :-1] == -1.0).all()
+    assert (c[:, :-1] == 0).all()

@@ -228,6 +228,7 @@ def hypothesize_and_score(
         if policy.two_phase_scoring and ks >= 256:
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
+                hyp_ok.reshape(b1, b2 * qcap),
                 mode="count", pose_tile=16,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,

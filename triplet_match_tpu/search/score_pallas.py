@@ -334,6 +334,7 @@ def score_groups_two_phase(
     groups: jax.Array,
     poses: jax.Array,  # [G, Hg, 16]
     dist_thres2,
+    ok: jax.Array | None = None,  # [G, Hg] bool — hypothesis validity
     *,
     mode: str = "count",
     pose_tile: int = 8,
@@ -349,6 +350,11 @@ def score_groups_two_phase(
     is "score everyone cheaply, spend full effort only on survivors".
     Returns scores [G, Hg] where dropped poses get -1 (they can never become
     finalists) and survivors get their full-K score.
+
+    ``ok`` masks invalid hypotheses (failed pair gates, padded query slots)
+    to -1 BEFORE the coarse top-k, so they never occupy keep slots that a
+    valid pose needs — an invalid pose's transform is arbitrary and can
+    coarse-score arbitrarily high.
     """
     g, hg = poses.shape[:2]
     keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)
@@ -358,6 +364,8 @@ def score_groups_two_phase(
         mpack, coarse, poses, dist_thres2,
         mode="count", pose_tile=pose_tile, interpret=interpret,
     )
+    if ok is not None:
+        s1 = jnp.where(ok, s1, -1.0)
     _, kept = jax.lax.top_k(s1, keep)  # [G, keep]
     poses_kept = jnp.take_along_axis(poses, kept[..., None], axis=1)  # [G, keep, 16]
     s2, c2 = score_groups_pallas(
@@ -368,6 +376,9 @@ def score_groups_two_phase(
     out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, kept, s2)
     cnt = jnp.zeros((g, hg), jnp.int32)
     cnt = jax.vmap(lambda o, i, v: o.at[i].set(v))(cnt, kept, c2)
+    if ok is not None:
+        out = jnp.where(ok, out, -1.0)
+        cnt = jnp.where(ok, cnt, 0)
     return out, cnt
 
 
