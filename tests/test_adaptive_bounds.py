@@ -1,0 +1,256 @@
+"""Adaptive RANSAC bound semantics + formerly-dead policy knobs.
+
+Covers the reference's outer-bound sizing (impl/scene.hpp:131-141), the
+no-match budget guarantee, ``samples_on_all`` correspondence eligibility
+(impl/scene.hpp:534-536), ``query_limit`` / bucket-overflow sampling
+(impl/scene.hpp:19,307-310), and ``Model.init(subset)`` semantics
+(impl/model.hpp:17-30).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import pose_delta
+from triplet_match_tpu.index.model import compile_model, query_pairs
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+from triplet_match_tpu.search.driver import (
+    LAST_SEARCH_STATS,
+    adaptive_outer_bound,
+    find_all,
+    prepare_scene,
+)
+
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+# ---------------------------------------------------------------------------
+# adaptive_outer_bound unit behavior (impl/scene.hpp:131-141)
+# ---------------------------------------------------------------------------
+
+
+def test_outer_bound_formula_and_clamps():
+    pol = SearchPolicy()
+    # log(1-0.999)/log(1-100/10000) = 687.3 -> 687
+    assert adaptive_outer_bound(100, 10_000, 50_000, pol) == 687
+    # effort scales with eligible scene size
+    assert (
+        adaptive_outer_bound(100, 100_000, 500_000, pol)
+        > 5 * adaptive_outer_bound(100, 10_000, 500_000, pol)
+    )
+    # lower clamp: tiny scenes fall back to min_sample_count
+    assert adaptive_outer_bound(100, 120, 120, pol) == pol.min_sample_count
+    # upper clamp: never more than n_scene
+    assert adaptive_outer_bound(2, 1_000_000, 300, pol) == 300
+    # degenerate: nothing left
+    assert adaptive_outer_bound(100, 0, 300, pol) == 0
+    # force_exhaustive overrides everything to n_scene
+    pol_fx = dataclasses.replace(pol, force_exhaustive=True)
+    assert adaptive_outer_bound(100, 10_000, 50_000, pol_fx) == 50_000
+
+
+def test_outer_bound_model_bigger_than_scene():
+    pol = SearchPolicy()
+    # outer_prob >= 1 -> min_sample_count (log(0) guard)
+    assert adaptive_outer_bound(500, 300, 1_000, pol) == pol.min_sample_count
+
+
+# ---------------------------------------------------------------------------
+# find_all phase semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def box():
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    return xyz, nrm, tan
+
+
+def test_no_match_exhausts_adaptive_budget(box):
+    """A matchless scene must consume ceil(outer_bound/B1) rounds, not one."""
+    xyz, nrm, tan = box
+    policy = SearchPolicy(
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=64,
+    )
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          policy, pair_block=128)
+    # matchless scene with PLENTY of eligible edge points: a differently
+    # sized box (features are scale-variant, so its pairs miss the model's
+    # buckets) plus smooth clutter
+    oxyz, onrm, otan = make_box_model(n_edge=400, n_face=800,
+                                      size=(2.3, 1.7, 1.25), seed=4)
+    scene, _, _ = embed_in_scene(
+        oxyz, onrm, otan, noise=0.001, n_clutter=800, clutter_extent=6.0, seed=5
+    )
+    clutter = scene
+    prep = prepare_scene(clutter, policy)
+    matches = find_all(
+        model, clutter, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=3, seed=13, prep=prep,
+    )
+    assert matches == []
+    n_left = int(np.asarray(prep.tangent_mask & prep.cloud.valid).sum())
+    bound = adaptive_outer_bound(int(model.n_edge), n_left, n_left, policy)
+    expect_rounds = max(1, -(-bound // policy.num_first_samples))
+    assert LAST_SEARCH_STATS["rounds"] >= expect_rounds
+    assert LAST_SEARCH_STATS["phases"] == 1
+
+
+def test_match_found_across_phase_rounds(box):
+    """A present instance is found even when one round's firsts can miss it."""
+    xyz, nrm, tan = box
+    policy = SearchPolicy(
+        num_first_samples=16, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=64,
+    )
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          policy, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=1500, clutter_extent=6.0, seed=6
+    )
+    matches = find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert matches, "instance not found within the adaptive budget"
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.5
+
+
+def test_dist_thres_defaults_to_corr_dist_factor(box):
+    xyz, nrm, tan = box
+    policy = SearchPolicy(
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=8,
+    )
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          policy, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=300, seed=7)
+    m_default = find_all(
+        model, scene, model_match_factor=0.5,  # no dist_thres
+        sample_params=SAMPLE, discretization=DISC, policy=policy, seed=13,
+    )
+    m_explicit = find_all(
+        model, scene, dist_thres=policy.corr_dist_factor, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy, seed=13,
+    )
+    assert len(m_default) == len(m_explicit) and m_default
+    np.testing.assert_array_equal(m_default[0].transform, m_explicit[0].transform)
+
+
+# ---------------------------------------------------------------------------
+# samples_on_all (impl/scene.hpp:534-536)
+# ---------------------------------------------------------------------------
+
+
+def test_samples_on_all_restricts_correspondences(box):
+    from triplet_match_tpu.search.score import finish_find
+
+    xyz, nrm, tan = box
+    policy = SearchPolicy()
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          policy, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.0005, n_clutter=100, seed=9)
+    prep = prepare_scene(scene, policy)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    t = jnp.linalg.inv(jnp.asarray(t_gt))  # scene->model
+
+    all_c = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t, 3.0,
+                        samples_on_all=True)
+    edge_c = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t, 3.0,
+                         samples_on_all=False)
+    # tangent-only eligibility strictly reduces the correspondence pool
+    assert int(edge_c.count) < int(all_c.count)
+    assert int(edge_c.count) > 0
+    # every tangent-restricted corr is tangent-bearing
+    tn = jnp.linalg.norm(prep.cloud.tangent, axis=-1)
+    assert bool(jnp.all(~edge_c.valid | (tn > 0.7)))
+
+
+# ---------------------------------------------------------------------------
+# query_limit + bucket-overflow sampling (impl/scene.hpp:19,307-310)
+# ---------------------------------------------------------------------------
+
+
+def _largest_bucket(m):
+    from triplet_match_tpu.features import pairfeat as pf
+
+    keys = np.asarray(m.keys)[: int(m.pair_count)]
+    pairs = np.asarray(m.pairs)[: int(m.pair_count)]
+    vals, counts = np.unique(keys, return_counts=True)
+    key = vals[np.argmax(counts)]
+    sel = keys == key
+    i, j = pairs[sel][0]
+    xyz, tan = m.cloud.xyz, m.cloud.tangent
+    f = pf.pair_feature(xyz[i], xyz[j], tan[i], tan[j])
+    return f, pairs[sel], int(counts.max())
+
+
+def test_query_overflow_strided_covers_bucket(box):
+    xyz, nrm, tan = box
+    policy = SearchPolicy()
+    m = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                      policy, pair_block=128)
+    f, bucket, blen = _largest_bucket(m)
+    cap = 8
+    assert blen > cap, "fixture bucket too small for the overflow test"
+    got, valid = query_pairs(m, f[None, :], DISC, cap)
+    got = np.asarray(got[0])[np.asarray(valid[0])]
+    # strided positions reach the bucket tail, not just the front
+    want = {tuple(p) for p in bucket}
+    assert all(tuple(p) in want for p in got)
+    front = {tuple(p) for p in bucket[:cap]}
+    assert {tuple(p) for p in got} != front, "overflow still front-truncates"
+    # stride positions are exactly floor(i*len/cap)
+    pos = (np.arange(cap) * blen) // cap
+    np.testing.assert_array_equal(got, bucket[pos])
+
+
+def test_query_limit_caps_considered_entries(box):
+    xyz, nrm, tan = box
+    policy = SearchPolicy()
+    m = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                      policy, pair_block=128)
+    f, bucket, blen = _largest_bucket(m)
+    cap = 8
+    limit = cap // 2
+    got, valid = query_pairs(m, f[None, :], DISC, cap, limit=limit)
+    # only `limit` slots valid, all from the bucket front window
+    assert int(np.asarray(valid).sum()) == limit
+    got = np.asarray(got[0])[np.asarray(valid[0])]
+    np.testing.assert_array_equal(got, bucket[:limit])
+
+
+# ---------------------------------------------------------------------------
+# Model.init(subset) semantics (impl/model.hpp:17-30)
+# ---------------------------------------------------------------------------
+
+
+def test_subset_restricts_pair_table_not_scoring(box):
+    from triplet_match_tpu.api import Model
+
+    xyz, nrm, tan = box
+    full = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC).init(SAMPLE)
+    half = np.arange(0, xyz.shape[0], 2)  # every other point (edges included)
+    sub = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC).init(SAMPLE, subset=half)
+
+    # pair table shrinks with the subset...
+    assert sub.point_count() < full.point_count()
+    assert sub.pair_count() < full.pair_count()
+    # ...but the scoring surface (LUT + full cloud) is untouched
+    assert int(sub.compiled.n_all) == int(full.compiled.n_all)
+    np.testing.assert_array_equal(
+        np.asarray(sub.compiled.lut), np.asarray(full.compiled.lut)
+    )
+    # a point OUTSIDE the subset still resolves through voxel_query
+    out_pt = np.asarray(xyz)[-1]
+    assert sub.voxel_query(out_pt) == full.voxel_query(out_pt)

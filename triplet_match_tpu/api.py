@@ -60,18 +60,18 @@ class Model:
         self._policy = policy
         self._compiled: model_index.CompiledModel | None = None
 
-    # -- model::init (include/model:35-37); subset via a validity mask
+    # -- model::init (include/model:35-37).  The subset restricts only the
+    # edge/pair-table eligibility; the voxel LUT and scoring keep the full
+    # cloud (impl/model.hpp:17-30 — the reference's subset_ feeds the pair
+    # passes while voxel_query/scoring see everything).
     def init(self, sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
              subset: np.ndarray | None = None) -> "Model":
-        cloud = self._cloud
+        mask = None
         if subset is not None:
-            import jax.numpy as jnp
-
-            mask = np.zeros(cloud.capacity, bool)
+            mask = np.zeros(self._cloud.capacity, bool)
             mask[np.asarray(subset)] = True
-            cloud = dataclasses.replace(cloud, valid=cloud.valid & jnp.asarray(mask))
         self._compiled = model_index.compile_model(
-            cloud, self._params, sample_params, self._policy
+            self._cloud, self._params, sample_params, self._policy, subset=mask
         )
         return self
 
@@ -87,7 +87,9 @@ class Model:
 
         cap = cap or self._policy.query_cap
         f = jnp.asarray(feature, jnp.float32)
-        pairs, valid = model_index.query_pairs(self.compiled, f[None, :], self._params, cap)
+        pairs, valid = model_index.query_pairs(
+            self.compiled, f[None, :], self._params, cap, limit=self._policy.query_limit
+        )
         v = np.asarray(valid[0])
         return np.asarray(pairs[0])[v]
 

@@ -61,15 +61,32 @@ class SearchPolicy:
     """
 
     # --- reference detail:: constants (impl/scene.hpp:11-29) ---
+    # early_out: stop a phase's remaining rounds once an accepted match
+    # reaches early_out_factor * possible_model corrs (impl/scene.hpp:330-347).
     early_out: bool = True
     deterministic: bool = True  # reference defaults to clock seeds; we are deterministic by default
+    # match_probability/min_sample_count size the adaptive RANSAC outer bound
+    # log(1-p)/log(1-n_model/|left|) clamped to [min_sample_count, n_scene]
+    # (impl/scene.hpp:131-141) — see search.driver.adaptive_outer_bound.
     match_probability: float = 0.999
     min_sample_count: int = 10
+    # corr_dist_factor: default dist_thres when find_all is called without one
+    # (declared in the reference, impl/scene.hpp:16, and equal to the only
+    # dist_thres anyone passes; never read elsewhere upstream either).
     corr_dist_factor: float = 3.0
+    # query_limit: max candidate model pairs consumed per feature query
+    # (impl/scene.hpp:19,310); buckets larger than query_cap are sampled by
+    # an even stride over min(bucket, query_limit) entries (index.model.query_pairs).
     query_limit: int = 200
+    # force_exhaustive: outer bound = n_scene regardless of probability
+    # (impl/scene.hpp:139-141).
     force_exhaustive: bool = False
+    # samples_on_all: all valid points are correspondence-eligible; when
+    # False only tangent-bearing (edge) points count (impl/scene.hpp:534-536).
     samples_on_all: bool = True
     curvature_k: int = 30
+    # early_drop: statistical abort of hopeless poses (impl/scene.hpp:492-506);
+    # gates the batched analog, two-phase scoring (coarse subsample + rescore).
     early_drop: bool = True
     weighted_distance: bool = False
     negative_scores: bool = False
@@ -80,14 +97,26 @@ class SearchPolicy:
     pair_parallel_epsilon: float = 0.01  # reject pairs with 1-|d.t| < eps
 
     # --- TPU batching caps (static shapes; replace dynamic loop bounds) ---
-    num_first_samples: int = 256  # RANSAC outer batch per round (outer_bound analog)
+    # num_first_samples is the per-round first-point batch; the number of
+    # rounds per phase is ceil(outer_bound / num_first_samples) with the
+    # adaptive outer bound above, so the statistical sampling guarantee is
+    # honored across rounds rather than within one.
+    num_first_samples: int = 256  # RANSAC outer batch per round
+    # num_second_samples is the static inner-bound cap: the reference's
+    # per-first inner bound (impl/scene.hpp:276-282) evaluates to
+    # ~max(min_sample_count, -log(1-p)*|ball|/n_model_all), typically
+    # ~min_sample_count (=10) — below this default, so per-first effort
+    # meets or exceeds the reference's.
     num_second_samples: int = 32  # second points tried per first (inner_bound analog)
     second_pool: int = 128  # edge-point kNN pool per first for second sampling
     query_cap: int = 16  # model pair candidates gathered per feature query (<= query_limit)
     score_neighbors: int = 512  # scene points scored per hypothesis (radius-search analog)
     finalists: int = 4  # hypotheses promoted to full scoring + ICP per round (best_ts analog, <=5)
     max_instances: int = 8  # multi-instance extraction cap per find_all
-    max_rounds: int = 8  # outer while(true) cap (impl/scene.hpp:70-95)
+    # max_rounds caps TOTAL rounds across all phases — a safety valve only;
+    # the reference's while(true) (impl/scene.hpp:70-95) has no cap.  Set
+    # high enough that the adaptive outer bound, not this, ends the search.
+    max_rounds: int = 64
 
     # --- scorer backend ---
     # "auto": fused Pallas kernel on TPU, jnp voxel-LUT scorer elsewhere.

@@ -297,6 +297,7 @@ def compile_model(
     margin: int = 5,
     pair_block: int = 256,
     max_pair_points: int = 4096,
+    subset: np.ndarray | None = None,
 ) -> CompiledModel:
     """Compile a model cloud into its two query indexes.
 
@@ -305,12 +306,20 @@ def compile_model(
     grid, so extents must be concrete) and one fused build program over the
     compacted edge subset.
 
+    ``subset`` (optional [N] bool mask) restricts the edge/pair-table
+    eligibility ONLY — the voxel LUT and correspondence scoring still use
+    the full cloud, matching the reference where ``init(subset)`` filters
+    the pair-pass subset while ``voxel_query`` and scoring see everything
+    (impl/model.hpp:17-30, 81-94).
+
     ``max_pair_points`` caps the pair-table subset for very large models:
     the reference enumerates ALL edge-point pairs (O(E^2) hash entries,
     impl/model.hpp:124-149); above the cap we evenly subsample edge points,
     which thins redundant pair entries without shrinking feature coverage.
     """
     res_d, lower_d, upper_d, edge_d = _measure(cloud, policy)
+    if subset is not None:
+        edge_d = edge_d & jnp.asarray(np.asarray(subset, bool))
     res = float(res_d)
     lower, upper = np.asarray(lower_d), np.asarray(upper_d)
     dia = float(np.linalg.norm(upper - lower))
@@ -351,15 +360,25 @@ def compile_model(
 
 
 def query_pairs(model: CompiledModel, features: jax.Array, params: DiscretizationParams,
-                cap: int) -> tuple[jax.Array, jax.Array]:
+                cap: int, limit: int | None = None) -> tuple[jax.Array, jax.Array]:
     """Model pairs matching each query feature (bounded-bucket gather).
 
     Analog of ``model::query`` (impl/model.hpp:169-178) + the caller-side
     ``query_limit`` cap (impl/scene.hpp:19,310).
 
+    Buckets larger than ``cap`` are sampled with an even stride over
+    ``min(bucket, limit)`` entries instead of truncating to the bucket
+    front: for symmetric/repetitive models a bucket can hold hundreds of
+    pairs, and front-truncation would hide the same tail pairs from *every*
+    query forever.  (The reference walks an unordered_multimap bucket, so
+    its first ``query_limit`` entries are hash-order-arbitrary; an even
+    stride is the deterministic batched equivalent with full-bucket reach.)
+
     Args:
       features: [..., 4] continuous pair features.
       cap: static max pairs returned per query.
+      limit: optional dynamic cap on entries *considered* per bucket
+        (``detail::query_limit`` = 200; <=0 or None means the whole bucket).
 
     Returns:
       (pairs [..., cap, 2] int32, valid [..., cap] bool).
@@ -370,9 +389,17 @@ def query_pairs(model: CompiledModel, features: jax.Array, params: Discretizatio
     kf = keys.reshape(-1)
     left = jnp.searchsorted(model.keys, kf, side="left")
     right = jnp.searchsorted(model.keys, kf, side="right")
+    blen = (right - left).astype(jnp.int32)
+    if limit is not None and limit > 0:
+        blen = jnp.minimum(blen, limit)
     offs = jnp.arange(cap, dtype=jnp.int32)
-    gather_idx = left[:, None] + offs[None, :]
-    valid = gather_idx < right[:, None]
+    # even-stride positions: identity when the bucket fits, floor(i*len/cap)
+    # when it overflows (covers [0, len) uniformly; always < len)
+    pos = jnp.where(
+        blen[:, None] <= cap, offs[None, :], (offs[None, :] * blen[:, None]) // cap
+    )
+    gather_idx = left[:, None] + pos
+    valid = offs[None, :] < blen[:, None]
     gather_idx = jnp.minimum(gather_idx, model.keys.shape[0] - 1)
     pairs = model.pairs[gather_idx]
     return pairs.reshape(*shape, cap, 2), valid.reshape(*shape, cap)

@@ -29,31 +29,51 @@ class CurvatureInfo(NamedTuple):
     pc_max: jax.Array  # [N]
 
 
-def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureInfo:
-    """Per-point principal curvature info over the full (padded) cloud."""
-    # approximate candidate precision: curvature is a neighborhood statistic
-    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block,
-                 approx_candidates=True)  # [N, k]
-    nbr_normals = cloud.normal[idx]  # [N, k, 3]
+def curvature_from_neighbors(q_normal: jax.Array, nbr_normals: jax.Array,
+                             nbr_mask: jax.Array | None = None) -> CurvatureInfo:
+    """Curvature statistics from gathered neighborhood normals.
 
-    n = cloud.normal
+    The single home of the projected-normal-covariance math
+    (impl/pointcloud.hpp:3-44), shared by every caller so the brute-force
+    and grid-bucketed neighbor paths cannot drift.
+
+    q_normal: [..., 3]; nbr_normals: [..., K, 3]; nbr_mask: optional [..., K]
+    (masked slots are excluded from the centroid/covariance and the 1/count
+    eigenvalue scale — the masked analog of the reference's exact-k loop).
+    """
+    n = q_normal
     # proj = (I - n n^T) nbr  ==  nbr - (nbr . n) n
-    dots = jnp.einsum("nkd,nd->nk", nbr_normals, n)
-    proj = nbr_normals - dots[..., None] * n[:, None, :]  # [N, k, 3]
+    dots = jnp.einsum("...kd,...d->...k", nbr_normals, n)
+    proj = nbr_normals - dots[..., None] * n[..., None, :]  # [..., K, 3]
 
-    centroid = jnp.mean(proj, axis=1, keepdims=True)
-    demean = proj - centroid
+    if nbr_mask is None:
+        cnt = jnp.float32(nbr_normals.shape[-2])
+        centroid = jnp.mean(proj, axis=-2, keepdims=True)
+        demean = proj - centroid
+    else:
+        m = nbr_mask[..., None].astype(proj.dtype)
+        cnt = jnp.maximum(jnp.sum(nbr_mask.astype(jnp.float32), axis=-1), 1.0)
+        centroid = jnp.sum(proj * m, axis=-2, keepdims=True) / cnt[..., None, None]
+        demean = (proj - centroid) * m
     # Raw scatter (no 1/k) exactly like the reference accumulation
     # (impl/pointcloud.hpp:17-36); the 1/k lands on the eigenvalues.
-    cov = jnp.einsum("nkd,nke->nde", demean, demean)
+    cov = jnp.einsum("...kd,...ke->...de", demean, demean)
 
     evs, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    area_inv = 1.0 / float(k)
+    area_inv = 1.0 / cnt
     return CurvatureInfo(
         pc_max_dir=evecs[..., 2],
         pc_min=evs[..., 1] * area_inv,
         pc_max=evs[..., 2] * area_inv,
     )
+
+
+def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureInfo:
+    """Per-point principal curvature info over the full (padded) cloud."""
+    # approximate candidate precision: curvature is a neighborhood statistic
+    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block,
+                 approx_candidates=True)  # [N, k]
+    return curvature_from_neighbors(cloud.normal, cloud.normal[idx])
 
 
 def estimate_edge_tangents(cloud, k: int = 30, *, curvature_ratio_threshold: float = 0.2,
@@ -84,15 +104,26 @@ def estimate_edge_tangents(cloud, k: int = 30, *, curvature_ratio_threshold: flo
     return jnp.where(is_edge[:, None], t, 0.0)
 
 
+def curvature_ratio(curv: CurvatureInfo) -> jax.Array:
+    """pc_min/pc_max with the zero-pc_max -> +inf convention.
+
+    A zero pc_max (perfectly coherent normals) yields ratio=+inf -> never an
+    edge, matching the reference's NaN-compares-false behavior
+    (impl/model.hpp:98).  Single home for the formula — every edge
+    classification path must go through it.
+    """
+    return jnp.where(
+        curv.pc_max > 0.0, curv.pc_min / jnp.maximum(curv.pc_max, 1e-30), jnp.inf
+    )
+
+
 def edge_mask(cloud, curv: CurvatureInfo, *, tangent_norm_threshold: float = 0.7,
               curvature_ratio_threshold: float = 0.2) -> jax.Array:
     """Edge-point classification.
 
     Mirrors the subset filter ``tangent.norm() > 0.7 && pc_min/pc_max < 0.2``
-    (/root/reference/include/impl/model.hpp:96-99, impl/scene.hpp:50).  A zero
-    pc_max (perfectly coherent normals) yields ratio=+inf -> not an edge,
-    matching the reference's NaN-compares-false behavior.
+    (/root/reference/include/impl/model.hpp:96-99, impl/scene.hpp:50).
     """
     tnorm = jnp.linalg.norm(cloud.tangent, axis=-1)
-    ratio = jnp.where(curv.pc_max > 0.0, curv.pc_min / jnp.maximum(curv.pc_max, 1e-30), jnp.inf)
+    ratio = curvature_ratio(curv)
     return cloud.valid & (tnorm > tangent_norm_threshold) & (ratio < curvature_ratio_threshold)

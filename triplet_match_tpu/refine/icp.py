@@ -43,6 +43,7 @@ def icp_refine(
     weighted_distance: bool = False,
     negative_scores: bool = False,
     point_to_plane: bool = False,
+    samples_on_all: bool = True,
 ) -> IcpResult:
     """Refine a single pose (use vmap for a batch).
 
@@ -58,7 +59,8 @@ def icp_refine(
 
     def _ff(t, thres, exact=False):
         return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
-                           weighted_distance=weighted_distance, negative_scores=negative_scores)
+                           weighted_distance=weighted_distance, negative_scores=negative_scores,
+                           samples_on_all=samples_on_all)
 
     best = _ff(t0, relaxed)
     if max_iterations == 0:

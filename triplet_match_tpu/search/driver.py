@@ -41,8 +41,12 @@ from triplet_match_tpu.core import cloud as cl
 from triplet_match_tpu.core.transforms import base_transform, invert_rigid
 from triplet_match_tpu.features import pairfeat as pf
 from triplet_match_tpu.index.model import CompiledModel, query_pairs
-from triplet_match_tpu.ops.curvature import edge_mask as edge_mask_op
-from triplet_match_tpu.ops.curvature import principal_curvatures
+from triplet_match_tpu.ops.curvature import (
+    curvature_from_neighbors,
+    curvature_ratio,
+    edge_mask as edge_mask_op,
+    principal_curvatures,
+)
 from triplet_match_tpu.ops.knn import radius_neighbors
 from triplet_match_tpu.refine.icp import icp_refine
 from triplet_match_tpu.search.sampling import sample_firsts, sample_seconds
@@ -76,59 +80,91 @@ def _prepare_scene_whole(cloud: cl.PointCloud, policy: SearchPolicy) -> ScenePre
     return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
 
 
-@partial(jax.jit, static_argnames=("policy", "chunk"))
-def _edge_chunk(cloud: cl.PointCloud, start, *, policy: SearchPolicy, chunk: int):
-    """Edge classification for one query slice against the full cloud."""
-    from jax import lax
+@partial(jax.jit, static_argnames=("policy", "chunk", "cap"))
+def _grid_edge_ratios(cloud: cl.PointCloud, qidx: jax.Array, *,
+                      policy: SearchPolicy, chunk: int, cap: int) -> jax.Array:
+    """Curvature ratios for the query subset ``qidx`` via the grid index.
 
-    from triplet_match_tpu.ops.knn import knn as knn_op
+    Cells are sized for the tangent-bearing population: only their
+    curvature ratios reach the edge mask (the tangent-norm gate filters
+    everything else), and in mixed-density scenes the global radius
+    statistic mis-sizes their cells.
+    """
+    from triplet_match_tpu.ops import gridnn
 
-    q = lax.dynamic_slice_in_dim(cloud.xyz, start, chunk, axis=0)
-    qn = lax.dynamic_slice_in_dim(cloud.normal, start, chunk, axis=0)
-    qt = lax.dynamic_slice_in_dim(cloud.tangent, start, chunk, axis=0)
-    qv = lax.dynamic_slice_in_dim(cloud.valid, start, chunk, axis=0)
-    idx, _ = knn_op(q, cloud.xyz, cloud.valid, policy.curvature_k, block=512,
-                    approx_candidates=True)
-    nbr = cloud.normal[idx]
-    dots = jnp.einsum("nkd,nd->nk", nbr, qn)
-    proj = nbr - dots[..., None] * qn[:, None, :]
-    demean = proj - jnp.mean(proj, axis=1, keepdims=True)
-    cov = jnp.einsum("nkd,nke->nde", demean, demean)
-    evs, _ = jnp.linalg.eigh(cov)
-    pc_min = evs[..., 1]
-    pc_max = evs[..., 2]
-    ratio = jnp.where(pc_max > 0.0, pc_min / jnp.maximum(pc_max, 1e-30), jnp.inf)
-    tnorm = jnp.linalg.norm(qt, axis=-1)
-    return qv & (tnorm > policy.tangent_norm_threshold) & (ratio < policy.curvature_ratio_threshold)
+    tangent_bearing = cloud.valid & (
+        jnp.linalg.norm(cloud.tangent, axis=-1) > policy.tangent_norm_threshold
+    )
+    cell = gridnn.estimate_knn_radius(
+        cloud.xyz, cloud.valid, policy.curvature_k, focus=tangent_bearing
+    )
+    grid = gridnn.build_grid(cloud.xyz, cloud.valid, cell)
+
+    qx = cloud.xyz[qidx].reshape(-1, chunk, 3)
+    qn = cloud.normal[qidx].reshape(-1, chunk, 3)
+
+    def tile(args):
+        x, nq = args
+        idx, mask = gridnn.grid_neighbors(grid, cloud.xyz, x, policy.curvature_k, cap=cap)
+        c = curvature_from_neighbors(nq, cloud.normal[idx], mask)
+        return curvature_ratio(c)
+
+    return jax.lax.map(tile, (qx, qn)).reshape(-1)
+
+
+def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
+                        chunk: int = 4096, cap: int = 64) -> ScenePrep:
+    """Grid-bucketed edge classification for large scenes.
+
+    The brute-force pass is O(N^2/block) matmuls — minutes at 1M points —
+    and its bf16 candidate selection degrades in dense unit-scale scenes
+    (absolute d^2 error ~1e-1 vs neighbor gaps of ~1e-4).  This path is the
+    kd-tree locality the reference gets from PCL
+    (impl/pointcloud.hpp:138-198), with two structural wins:
+
+    * neighbors come from a 27-cell grid stencil with exact f32 local
+      distances (ops/gridnn.py) — O(N * local density), no matmul
+      cancellation;
+    * curvature is evaluated ONLY for tangent-bearing points — the edge
+      mask is ``tnorm > 0.7 AND ratio < 0.2`` (impl/scene.hpp:50), so
+      everything else is classified by the tangent gate alone.  In scanner
+      data edge candidates are a small fraction of the cloud, collapsing
+      the pass from N queries to #candidates.
+    """
+    cloud = jax.jit(cl.finite_filter)(cloud)
+    n = cloud.xyz.shape[0]
+    tb = np.asarray(cloud.valid) & (
+        np.linalg.norm(np.asarray(cloud.tangent), axis=-1)
+        > policy.tangent_norm_threshold
+    )
+    qidx = np.where(tb)[0].astype(np.int32)
+    tm_np = np.zeros(n, bool)
+    if qidx.size:
+        c = min(chunk, max(-(-qidx.size // 256) * 256, 256))
+        qp = -(-qidx.size // c) * c
+        qidx_p = np.zeros(qp, np.int32)
+        qidx_p[: qidx.size] = qidx
+        ratios = np.asarray(
+            _grid_edge_ratios(cloud, jnp.asarray(qidx_p), policy=policy,
+                              chunk=c, cap=cap)
+        )[: qidx.size]
+        tm_np[qidx] = ratios < policy.curvature_ratio_threshold
+    tm = jnp.asarray(tm_np) & cloud.valid
+    return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
 
 
 def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY,
-                  *, chunk_points: int = 131072) -> ScenePrep:
+                  *, grid_threshold: int = 262144) -> ScenePrep:
     """Per-scene preprocessing (impl/scene.hpp:41-58).
 
-    Million-point scenes run the curvature pass in bounded device programs
-    (the tunnel/runtime limits single-program wall time), chunked over
-    query slices; small scenes run one fused program.
+    Scenes above ``grid_threshold`` points use the grid-bucketed neighbor
+    pass (O(#edge-candidates * local density)); smaller scenes run the
+    brute-force MXU pass.
     """
     n = cloud.xyz.shape[0]
-    if n <= 2 * chunk_points:
+    if n <= grid_threshold:
         return _prepare_scene_whole(cloud, policy)
-
-    cloud = jax.jit(cl.finite_filter)(cloud)
-    nchunks = -(-n // chunk_points)
-    pad = nchunks * chunk_points - n
-    if pad:
-        cloud_p = jax.tree_util.tree_map(
-            lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), cloud
-        )
-    else:
-        cloud_p = cloud
-    parts = [
-        _edge_chunk(cloud_p, jnp.int32(i * chunk_points), policy=policy, chunk=chunk_points)
-        for i in range(nchunks)
-    ]
-    tm = jnp.concatenate(parts)[:n] & cloud.valid
-    return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
+    return _prepare_scene_grid(cloud, policy=policy)
 
 
 class RoundResult(NamedTuple):
@@ -203,7 +239,9 @@ def hypothesize_and_score(
     pair_ok = seconds.valid & gates & fval
 
     # --- model query -> hypotheses (impl/scene.hpp:304-319) ---
-    mpairs, mvalid = query_pairs(model, feats, discretization, qcap)  # [B1,B2,Q,2]
+    mpairs, mvalid = query_pairs(
+        model, feats, discretization, qcap, limit=policy.query_limit
+    )  # [B1,B2,Q,2]
     m_i, m_j = mpairs[..., 0], mpairs[..., 1]
     hyp_ok = pair_ok[..., None] & mvalid
 
@@ -223,9 +261,10 @@ def hypothesize_and_score(
         # fused MXU kernel: exact-NN count ranking (score_pallas.py)
         from triplet_match_tpu.search import score_pallas as sp
 
-        groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r)
+        groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r,
+                                samples_on_all=policy.samples_on_all)
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
-        if policy.two_phase_scoring and ks >= 256:
+        if policy.early_drop and policy.two_phase_scoring and ks >= 256:
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
                 hyp_ok.reshape(b1, b2 * qcap),
@@ -249,6 +288,7 @@ def hypothesize_and_score(
                 model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
+                samples_on_all=policy.samples_on_all,
             )
             return jnp.where(ok_b, s, -1.0)
 
@@ -293,6 +333,7 @@ def finalize_round(
             weighted_distance=policy.weighted_distance,
             negative_scores=policy.negative_scores,
             point_to_plane=policy.icp_point_to_plane,
+            samples_on_all=policy.samples_on_all,
         )
     )(t_best)
     t_fin = icp.transform
@@ -365,6 +406,33 @@ def search_round(
     )
 
 
+def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
+                         policy: SearchPolicy) -> int:
+    """Adaptive RANSAC outer sampling bound (impl/scene.hpp:131-141).
+
+    Number of first points to try so that, with probability
+    ``match_probability``, at least one lands on a present instance:
+    ``log(1-p) / log(1 - n_model/n_left)`` clamped to
+    ``[min_sample_count, n_scene]``; ``force_exhaustive`` overrides to
+    ``n_scene``.  ``n_model`` is the model edge-subset size, ``n_left`` the
+    currently eligible (unconsumed, un-tried) scene edge points, ``n_scene``
+    the scene edge-point total at prepare time.
+    """
+    if policy.force_exhaustive:
+        return max(int(n_scene), 1)
+    if n_left <= 0:
+        return 0
+    outer_prob = min(float(n_model) / float(n_left), 1.0)
+    if outer_prob >= 1.0:
+        bound = policy.min_sample_count
+    else:
+        bound = int(
+            np.log(1.0 - policy.match_probability) / np.log(1.0 - outer_prob)
+        )
+    bound = max(bound, policy.min_sample_count)
+    return min(bound, max(int(n_scene), 1))
+
+
 LAST_SEARCH_STATS: dict = {}
 
 
@@ -401,7 +469,7 @@ def find_all(
     model: CompiledModel,
     scene_cloud: cl.PointCloud,
     *,
-    dist_thres: float = 3.0,
+    dist_thres: float | None = None,
     model_match_factor: float = 0.4,
     early_out_factor: float = 0.9,
     sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
@@ -414,19 +482,32 @@ def find_all(
     """Find all model instances in the scene.
 
     API analog of ``scene::find_all_parallel``
-    (/root/reference/include/scene:47-48).  ``early_out_factor`` is accepted
-    for signature parity; batched scoring replaces early-out so it has no
-    effect (in the reference the normalized score can never reach the
-    count-scaled threshold either — the gate is vestigial, impl/scene.hpp:341).
-    Deterministic for a fixed seed (the reference is clock-seeded).
+    (/root/reference/include/scene:47-48).  Deterministic for a fixed seed
+    (the reference is clock-seeded).
+
+    Control flow mirrors the reference's two nested loops: the outer
+    multi-instance loop (impl/scene.hpp:70-95) runs *phases*; each phase is
+    one ``find_parallel`` analog whose sampling effort is the adaptive
+    RANSAC outer bound ``log(1-p)/log(1-n_model/|left|)`` recomputed from
+    the live masks (impl/scene.hpp:131-141), executed as
+    ``ceil(outer_bound / num_first_samples)`` jitted rounds.  The search
+    reports "no match" only after a full phase (the 0.999-probability
+    sample budget) yields nothing.  ``early_out`` stops a phase's remaining
+    rounds once an accepted match reaches
+    ``early_out_factor * possible_model`` correspondences
+    (impl/scene.hpp:330-347).  ``dist_thres=None`` defaults to
+    ``policy.corr_dist_factor`` (= the reference's only dist_thres value).
     """
+    if dist_thres is None:
+        dist_thres = policy.corr_dist_factor
     if prep is None:
         prep = prepare_scene(scene_cloud, policy)
 
     from triplet_match_tpu.utils.timer import Profiler
 
     profiler = Profiler()
-    stats = {"rounds": 0, "hypotheses_scored": 0, "finalists": 0, "accepted": 0}
+    stats = {"rounds": 0, "phases": 0, "hypotheses_scored": 0, "finalists": 0,
+             "accepted": 0}
 
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
@@ -452,42 +533,78 @@ def find_all(
     fp = jnp.zeros(n, bool)
     base_key = jax.random.PRNGKey(seed)
 
+    # host-side copies of the static eligibility pieces for bound sizing
+    edge_valid_np = np.asarray(prep.tangent_mask & prep.cloud.valid)
+    n_scene_edge = int(edge_valid_np.sum())  # ``n_scene`` (impl/scene.hpp:53)
+    n_model = int(model.n_edge)
+    if policy.samples_on_all:
+        possible_model = int(model.n_all)  # impl/scene.hpp:63-67
+    else:
+        possible_model = int(
+            ((np.linalg.norm(np.asarray(model.cloud.tangent), axis=-1) > 0.7)
+             & np.asarray(model.cloud.valid)).sum()
+        )
+    early_out_threshold = early_out_factor * possible_model
+
     matches: list[Match] = []
-    for rnd in range(policy.max_rounds):
-        key = jax.random.fold_in(base_key, rnd)
-        with profiler.section("round", consumed):
-            res, consumed, fp = round_fn(
-                model, prep, consumed, fp, key, jnp.float32(dist_thres),
-                jnp.float32(model_match_factor), mpack
-            )
-            jax.block_until_ready(res.accept)
-        accept = np.asarray(res.accept)
-        stats["rounds"] += 1
-        stats["hypotheses_scored"] += int(res.hypotheses_scored)
-        stats["finalists"] += accept.shape[0]
-        stats["accepted"] += int(accept.sum())
-        if not accept.any():
-            _publish_stats(stats, profiler)
-            break
-        order = np.argsort(-np.asarray(res.count))
-        for f in order:
-            if not accept[f]:
-                continue
-            t_inv = np.asarray(invert_rigid(res.transform[f]))
-            new = np.asarray(res.new_corr[f])
-            sidx = np.where(new)[0].astype(np.int32)
-            midx = np.asarray(res.model_idx[f])[sidx]
-            matches.append(
-                Match(
-                    transform=t_inv,
-                    scene_corrs=sidx,
-                    model_corrs=midx,
-                    signed_score=float(np.asarray(normalize_score(model, res.score[f]))),
+    rnd = 0
+    while rnd < policy.max_rounds:  # safety valve; phases end the search
+        # --- one find_parallel phase (impl/scene.hpp:108-240) ---
+        n_left = int(
+            (edge_valid_np & ~np.asarray(consumed) & ~np.asarray(fp)).sum()
+        )
+        outer_bound = adaptive_outer_bound(n_model, n_left, n_scene_edge, policy)
+        if outer_bound == 0:
+            break  # no eligible first points remain
+        phase_rounds = max(1, -(-outer_bound // policy.num_first_samples))
+        stats["phases"] += 1
+        phase_accepted = False
+        phase_early_out = False
+        for _ in range(phase_rounds):
+            if rnd >= policy.max_rounds:
+                break
+            key = jax.random.fold_in(base_key, rnd)
+            with profiler.section("round", consumed):
+                res, consumed, fp = round_fn(
+                    model, prep, consumed, fp, key, jnp.float32(dist_thres),
+                    jnp.float32(model_match_factor), mpack
                 )
-            )
-            if len(matches) >= policy.max_instances:
-                _publish_stats(stats, profiler)
-                return matches
+                jax.block_until_ready(res.accept)
+            rnd += 1
+            accept = np.asarray(res.accept)
+            stats["rounds"] += 1
+            stats["hypotheses_scored"] += int(res.hypotheses_scored)
+            stats["finalists"] += accept.shape[0]
+            stats["accepted"] += int(accept.sum())
+            if not accept.any():
+                continue
+            phase_accepted = True
+            counts = np.asarray(res.count)
+            order = np.argsort(-counts)
+            for f in order:
+                if not accept[f]:
+                    continue
+                t_inv = np.asarray(invert_rigid(res.transform[f]))
+                new = np.asarray(res.new_corr[f])
+                sidx = np.where(new)[0].astype(np.int32)
+                midx = np.asarray(res.model_idx[f])[sidx]
+                matches.append(
+                    Match(
+                        transform=t_inv,
+                        scene_corrs=sidx,
+                        model_corrs=midx,
+                        signed_score=float(np.asarray(normalize_score(model, res.score[f]))),
+                    )
+                )
+                if policy.early_out and counts[f] >= early_out_threshold:
+                    phase_early_out = True
+                if len(matches) >= policy.max_instances:
+                    _publish_stats(stats, profiler)
+                    return matches
+            if phase_early_out:
+                break  # impl/scene.hpp:341-347 — stop scanning this phase
+        if not phase_accepted:
+            break  # full no-match budget exhausted (impl/scene.hpp:70-73)
     _publish_stats(stats, profiler)
     return matches
 

@@ -37,7 +37,8 @@ class ScoreResult(NamedTuple):
 
 def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
                   ts, idx, idx_valid, thres, exact: bool = False,
-                  weighted_distance: bool = False, negative_scores: bool = False):
+                  weighted_distance: bool = False, negative_scores: bool = False,
+                  samples_on_all: bool = True):
     """Score gathered scene points under poses.
 
     ts: [..., 4, 4]; idx/idx_valid: [..., K]; returns per-point contribution
@@ -48,6 +49,10 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
     thres, not thres^2, faithfully preserved); ``negative_scores`` subtracts
     the weight when the nearest model point's tangent kind mismatches
     (impl/scene.hpp:473-475).  Both default off like the reference.
+    ``samples_on_all=False`` restricts correspondence eligibility to
+    tangent-bearing points (``considered_correspondence_``,
+    impl/scene.hpp:534-536 — the gate is the raw tangent norm, not the full
+    edge mask).
     """
     r = ts[..., :3, :3]
     pos = scene.xyz[idx]  # [..., K, 3]
@@ -69,6 +74,8 @@ def _score_points(model: CompiledModel, scene, tangent_mask, consumed,
     ref_n = jnp.where(is_tangent[..., None], mtan, model.cloud.normal[midx])
 
     eligible = idx_valid & scene.valid[idx] & ~consumed[idx] & inb & (dist <= thres)
+    if not samples_on_all:
+        eligible = eligible & (jnp.linalg.norm(scene.tangent[idx], axis=-1) > 0.7)
     kind_ok = use_tangent == is_tangent
     ok = eligible & kind_ok
 
@@ -147,7 +154,7 @@ class DenseCorrs(NamedTuple):
 
 def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thres,
                 exact: bool = False, weighted_distance: bool = False,
-                negative_scores: bool = False) -> DenseCorrs:
+                negative_scores: bool = False, samples_on_all: bool = True) -> DenseCorrs:
     """Score one pose against ALL scene points -> dense correspondences.
 
     Analog of ``scene::finish_find`` (impl/scene.hpp:100-106): project_ over
@@ -160,6 +167,7 @@ def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thr
     score, count, ok, midx = _score_points(
         model, scene, tangent_mask, consumed, t, idx, jnp.ones(n, bool), thres,
         exact=exact, weighted_distance=weighted_distance, negative_scores=negative_scores,
+        samples_on_all=samples_on_all,
     )
     return DenseCorrs(model_idx=midx.astype(jnp.int32), valid=ok, score=score, count=count)
 

@@ -133,15 +133,21 @@ def pack_model(model) -> ModelPack:
     )
 
 
-def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid) -> jax.Array:
+def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
+                samples_on_all: bool = True) -> jax.Array:
     """Stage per-group scene neighborhoods as [G, 8, K] channel planes.
 
     One XLA gather of G*K elements (amortized over all poses of the group).
     Rows: 0-2 xyz, 3 use_tangent, 4 eligibility, 5-7 ref vector.
+
+    ``samples_on_all=False`` restricts eligibility to tangent-bearing points
+    (``considered_correspondence_``, impl/scene.hpp:534-536).
     """
     xyz = scene.xyz[nbr_idx]  # [G, K, 3]
     use_tan = tangent_mask[nbr_idx]
     elig = nbr_valid & scene.valid[nbr_idx] & ~consumed[nbr_idx]
+    if not samples_on_all:
+        elig = elig & (jnp.linalg.norm(scene.tangent[nbr_idx], axis=-1) > 0.7)
     ref = jnp.where(use_tan[..., None], scene.tangent[nbr_idx], scene.normal[nbr_idx])
     xyz = jnp.where(elig[..., None], xyz, _FAR)
     return jnp.stack(
