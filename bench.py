@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(model_points: int | None = None):
     import jax
 
     # persistent compile cache: the remote TPU compile service has erratic
@@ -49,6 +49,12 @@ def main():
     G, HG, K = (256, 512, 512) if on_tpu else (8, 64, 128)
     n_scene = 131072 if on_tpu else 2048
     n_model_edge, n_model_face = (600, 1800) if on_tpu else (180, 540)
+    if model_points is not None:
+        # model-size scaling study (--model-points): pack_model caps the
+        # kernel width at 4096 via coverage subsampling, so throughput must
+        # hold at any model size
+        n_model_edge = model_points // 4
+        n_model_face = model_points - n_model_edge
 
     policy = SearchPolicy()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
@@ -121,15 +127,23 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-points", type=int, default=None,
+                    help="model size for the scaling study (default: the "
+                         "standard 2.4k benchmark model)")
+    args = ap.parse_args()
+
     # the remote TPU runtime occasionally faults transiently
     # (UNAVAILABLE/INVALID_ARGUMENT) after long-running prior programs;
     # one retry in a fresh attempt reliably succeeds
     try:
-        main()
+        main(args.model_points)
     except Exception as e:  # pragma: no cover - hardware flake path
         import sys
         import time as _t
 
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying", file=sys.stderr)
         _t.sleep(10)
-        main()
+        main(args.model_points)

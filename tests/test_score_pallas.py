@@ -217,3 +217,41 @@ def test_two_phase_invalid_poses_cannot_evict_valid(setup):
     np.testing.assert_array_equal(s[:, -1], np.asarray(s_ref)[:, -1])
     assert (s[:, :-1] == -1.0).all()
     assert (c[:, :-1] == 0).all()
+
+
+def test_pack_model_caps_big_models(setup):
+    """Big models are voxel-downsampled to a coverage-uniform kernel pack."""
+    from triplet_match_tpu.search.score_pallas import _coverage_subsample
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    n_valid = int(np.asarray(model.cloud.valid).sum())
+    cap = 256
+    assert n_valid > cap
+
+    mpack = pack_model(model, max_points=cap)
+    assert mpack.channels_d.shape[1] <= ((cap + 127) // 128) * 128
+
+    # subsample is coverage-uniform: its max NN-gap grows at most ~3x the
+    # sqrt(n/cap) prediction over the valid cloud
+    keep = _coverage_subsample(
+        np.asarray(model.cloud.xyz), np.asarray(model.cloud.valid), cap
+    )
+    assert keep.size <= cap
+    from triplet_match_tpu.ops.knn import nn1
+
+    sub = jnp.asarray(np.asarray(model.cloud.xyz)[keep])
+    all_xyz = model.cloud.xyz
+    _, d2 = nn1(all_xyz, sub, jnp.ones(sub.shape[0], bool))
+    cover = float(jnp.sqrt(jnp.max(jnp.where(model.cloud.valid, d2, 0.0))))
+    assert cover < 8.0 * float(model.resolution) * np.sqrt(n_valid / cap)
+
+    # ranking still works on the capped pack: near-true poses beat junk
+    groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    _, c = score_groups_pallas(
+        mpack, groups, poses_to_rows(ts), thres2, mode="count", pose_tile=4,
+        interpret=True,
+    )
+    c = np.asarray(c)
+    hg = c.shape[1]
+    assert c[:, : hg // 2].min() > c[:, hg // 2 :].max()

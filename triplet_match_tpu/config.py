@@ -126,11 +126,14 @@ class SearchPolicy:
     scorer: str = "auto"  # "auto" | "pallas" | "jnp"
     pallas_interpret: bool = False  # interpret-mode Pallas (tests on CPU)
     # two-phase scoring = the reference's statistical early-drop
-    # (impl/scene.hpp:492-506) batched: coarse pass on a 1/4 neighborhood
-    # subsample, full rescore of the per-group top 1/8 poses
+    # (impl/scene.hpp:492-506) batched: coarse pass on a strided
+    # neighborhood subsample, full rescore of the per-group top poses.
+    # Defaults were validated by a 10-seed dense-fog recall study (round 2):
+    # stride 8 / keep 1/16 matches stride 4 / keep 1/8 exactly (10/10 found,
+    # identical poses) at ~1.4x the throughput.
     two_phase_scoring: bool = True
-    two_phase_stride: int = 4  # coarse-pass neighborhood subsample stride
-    two_phase_keep_frac: int = 8  # rescore top 1/keep_frac poses per group
+    two_phase_stride: int = 8  # coarse-pass neighborhood subsample stride
+    two_phase_keep_frac: int = 16  # rescore top 1/keep_frac poses per group
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

@@ -212,6 +212,74 @@ def nn1_exclusive_dist(cloud, *, block: int = 1024, ref_block: int | None = None
     return jnp.where(valid, jnp.sqrt(d2), 0.0)
 
 
+def radius_sample(
+    key,
+    q: jax.Array,
+    r: jax.Array,
+    r_valid: jax.Array,
+    radius,
+    k: int,
+    *,
+    block: int = 256,
+    ref_block: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Uniform random sample of up to ``k`` in-radius points per query.
+
+    The nearest-k ball truncation (radius_neighbors) silently biases dense
+    scenes: when the ball holds many more than k points, the nearest-k
+    subset concentrates around the query, where competing pose hypotheses
+    are least distinguishable (they all match near their anchor pair).  The
+    reference scans the ENTIRE ball in shuffled order
+    (impl/scene.hpp:273,284-288, 432), so its counts integrate over the
+    whole ball.  Sampling k ball members uniformly (per-point random
+    priorities, top-k by priority among in-radius points) is the unbiased
+    fixed-size estimator of the full-ball count.
+
+    When the ball holds <= k points this returns exactly the ball
+    (priority order), so sparse scenes are unaffected.
+
+    Returns (indices [Q, k] int32, mask [Q, k] bool).
+    """
+    qn = q.shape[0]
+    n = r.shape[0]
+    rb = ref_block or _default_ref_block(n, block)
+    nblocks = -(-qn // block)
+    qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
+    rad2 = jnp.asarray(radius, jnp.float32) ** 2
+    # per-point uniform priorities; invalid points get +inf
+    prio = jnp.where(r_valid, jax.random.uniform(key, (n,)), _INF)
+    nrb = -(-n // rb)
+    r_p = _pad_rows(r, nrb * rb).reshape(nrb, rb, 3)
+    prio_p = jnp.pad(prio, (0, nrb * rb - n), constant_values=_INF).reshape(nrb, rb)
+
+    center = jnp.mean(r, axis=0)
+
+    def tile(qb):
+        qb = qb - center
+
+        def body(carry, args):
+            best_p, best_idx = carry
+            rb_i, r_b, p_b = args
+            d2 = pairwise_sqdist(qb, r_b - center, precision=lax.Precision.DEFAULT)
+            sel = jnp.where(d2 <= rad2, p_b[None, :], _INF)
+            kk = min(k, rb)
+            neg, idx = lax.top_k(-sel, kk)
+            idx = idx + rb_i * rb
+            cat_p = jnp.concatenate([best_p, -neg], axis=1)
+            cat_i = jnp.concatenate([best_idx, idx.astype(jnp.int32)], axis=1)
+            neg2, pos = lax.top_k(-cat_p, k)
+            return (-neg2, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+        init = (jnp.full((block, k), _INF), jnp.zeros((block, k), jnp.int32))
+        (p_best, i_best), _ = lax.scan(
+            body, init, (jnp.arange(nrb, dtype=jnp.int32), r_p, prio_p)
+        )
+        return i_best, p_best < _INF
+
+    idx, mask = lax.map(tile, qp)
+    return idx.reshape(-1, k)[:qn], mask.reshape(-1, k)[:qn]
+
+
 def radius_neighbors(
     q: jax.Array,
     r: jax.Array,

@@ -47,7 +47,7 @@ from triplet_match_tpu.ops.curvature import (
     edge_mask as edge_mask_op,
     principal_curvatures,
 )
-from triplet_match_tpu.ops.knn import radius_neighbors
+from triplet_match_tpu.ops.knn import radius_sample
 from triplet_match_tpu.refine.icp import icp_refine
 from triplet_match_tpu.search.sampling import sample_firsts, sample_seconds
 from triplet_match_tpu.search.score import _score_points, normalize_score
@@ -206,25 +206,27 @@ def hypothesize_and_score(
     upper = model.diameter * sample_params.max_diameter_factor
     thres = jnp.float32(dist_thres) * model.resolution
 
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
     # --- sampling (impl/scene.hpp:131-166, 266-297) ---
     eligible_first = prep.tangent_mask & ~consumed & ~fp_mask & cloud.valid
     firsts = sample_firsts(k1, eligible_first, b1)
-    # scoring neighborhood: nearest points of ANY kind (the project_ subset)
-    nbr_idx, nbr_in_r = radius_neighbors(
-        cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks,
-        block=min(b1, 256), approx_candidates=True,
+    # scoring neighborhood: a UNIFORM sample of the diameter ball (any point
+    # kind — the project_ subset, impl/scene.hpp:273,432).  Nearest-K would
+    # silently truncate dense balls to the region around the first point,
+    # where competing hypotheses are least distinguishable (see
+    # ops.knn.radius_sample); balls smaller than K are returned whole.
+    nbr_idx, nbr_in_r = radius_sample(
+        k3, cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks,
+        block=min(b1, 256),
     )
-    # second-sample pool: nearest EDGE points within the model diameter.
-    # The reference iterates the full diameter ball (impl/scene.hpp:273) and
-    # skips non-edge points; a k-NN over all points under-reaches the pair
-    # distance band in dense scenes (its radius shrinks with density), so
-    # the pool is restricted to edge candidates — the only valid seconds.
+    # second-sample pool: EDGE points within the model diameter, uniformly
+    # sampled — the reference walks the ball in shuffled order and skips
+    # non-edge points (impl/scene.hpp:284-290), i.e. uniform over ball edges.
     second_eligible = prep.tangent_mask & ~consumed & cloud.valid
-    pool_idx, pool_in_r = radius_neighbors(
-        cloud.xyz[firsts.idx], cloud.xyz, second_eligible, model.diameter,
-        policy.second_pool, block=min(b1, 256), approx_candidates=True,
+    pool_idx, pool_in_r = radius_sample(
+        k4, cloud.xyz[firsts.idx], cloud.xyz, second_eligible, model.diameter,
+        policy.second_pool, block=min(b1, 256),
     )
     seconds = sample_seconds(k2, firsts, pool_idx, pool_in_r, second_eligible, b2)
 

@@ -69,26 +69,74 @@ class ModelPack(NamedTuple):
     md_surf: jax.Array  # [8, NsP] compact surface-point block (count mode)
 
 
-def pack_model(model) -> ModelPack:
+def _coverage_subsample(xyz, valid, cap: int):
+    """Pick <= cap representatives with uniform surface coverage (host numpy).
+
+    Voxel-downsample: bisect the cell size until the occupied-cell count
+    fits the cap, keep one point per occupied cell.  The subsample's
+    coverage radius grows ~sqrt(n/cap) for surface data, so with
+    cap >= (diameter/thres)^2-ish the within-threshold test for true
+    correspondences is preserved.
+    """
+    import numpy as np
+
+    idx = np.where(valid)[0]
+    if idx.size <= cap:
+        return idx
+    pts = xyz[idx]
+    lo = pts.min(0)
+    ext = float(max((pts.max(0) - lo).max(), 1e-9))
+
+    def occupied(cell):
+        q = np.floor((pts - lo) / cell).astype(np.int64)
+        cid = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+        return cid
+
+    lo_c, hi_c = ext / 4096.0, ext
+    for _ in range(40):
+        mid = 0.5 * (lo_c + hi_c)
+        if np.unique(occupied(mid)).size > cap:
+            lo_c = mid
+        else:
+            hi_c = mid
+    cid = occupied(hi_c)
+    _, first = np.unique(cid, return_index=True)
+    return np.sort(idx[first])
+
+
+def pack_model(model, max_points: int = 4096) -> ModelPack:
     """Stage a CompiledModel's cloud for gather-free scoring.
 
     Host-side (numpy): the edge/surface split requires concrete edge counts
     to size the compact blocks — call OUTSIDE jit, once per model, and pass
     the pack into the jitted search.
+
+    Models above ``max_points`` are voxel-downsampled to a coverage-uniform
+    subsample: the kernel's exact-NN sweep is O(K * N_model) per pose, and
+    the kernel's job in the search is *ranking* (finalists are rescored
+    against the full model by finish_find / ICP either way,
+    driver.finalize_round), so a bounded-N ranker keeps >=1M poses/s at any
+    model size.  Kernel-vs-oracle parity holds exactly on the subsampled
+    pack (the oracle sees the same points).
     """
     import numpy as np
 
     xyz = np.asarray(model.cloud.xyz, np.float32)
+    nrm = np.asarray(model.cloud.normal, np.float32)
+    mtan = np.asarray(model.cloud.tangent, np.float32)
+    valid = np.asarray(model.cloud.valid)
+    if int(valid.sum()) > max_points:
+        keep = _coverage_subsample(xyz, valid, max_points)
+        # compact to the subsample so the padded kernel width shrinks too
+        xyz, nrm, mtan = xyz[keep], nrm[keep], mtan[keep]
+        valid = np.ones(keep.size, bool)
+
     n = xyz.shape[0]
     n_pad = _round_up(n, 128)
-    pad = n_pad - n
-
-    valid = np.asarray(model.cloud.valid)
     center = xyz[valid].mean(axis=0) if valid.any() else np.zeros(3, np.float32)
     xyz = np.where(valid[:, None], xyz - center, _FAR).astype(np.float32)
-    mtan = np.asarray(model.cloud.tangent, np.float32)
     is_edge = (np.linalg.norm(mtan, axis=-1) > 0.7) & valid  # impl/scene.hpp:470
-    mref = np.where(is_edge[:, None], mtan, np.asarray(model.cloud.normal, np.float32))
+    mref = np.where(is_edge[:, None], mtan, nrm)
 
     def padn(a, fill=0.0, to=n_pad):
         extra = to - a.shape[0]
@@ -344,8 +392,8 @@ def score_groups_two_phase(
     *,
     mode: str = "count",
     pose_tile: int = 8,
-    coarse_stride: int = 4,
-    keep_frac: int = 8,
+    coarse_stride: int = 8,
+    keep_frac: int = 16,
     interpret: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
