@@ -74,6 +74,16 @@ def _load():
             ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.tm_lzf_decompress.restype = ctypes.c_int64
+        lib.tm_lzf_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.tm_lzf_compress.restype = ctypes.c_int64
+        lib.tm_lzf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -164,3 +174,30 @@ def pair_keys(xyz, tangent, edge, lower, upper, bmin0, brange0, dist_steps,
         None, _ptr(keys, ctypes.c_uint32),
     )
     return keys
+
+
+def lzf_decompress(data: bytes, out_size: int) -> np.ndarray:
+    """LZF stream -> [out_size] uint8 (PCD binary_compressed payloads)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(out_size, np.uint8)
+    got = lib.tm_lzf_decompress(
+        _ptr(buf, ctypes.c_uint8), buf.size, _ptr(out, ctypes.c_uint8), out_size
+    )
+    if got != out_size:
+        raise ValueError(f"LZF decompress produced {got} bytes, expected {out_size}")
+    return out
+
+
+def lzf_compress(data: bytes | np.ndarray) -> bytes:
+    """uint8 payload -> LZF stream (liblzf-compatible)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else np.ascontiguousarray(data, np.uint8)
+    cap = buf.size + buf.size // 16 + 64  # literal-only worst case + slack
+    out = np.empty(cap, np.uint8)
+    got = lib.tm_lzf_compress(
+        _ptr(buf, ctypes.c_uint8), buf.size, _ptr(out, ctypes.c_uint8), cap
+    )
+    if got <= 0 and buf.size > 0:
+        raise ValueError("LZF compress overflow")
+    return out[:got].tobytes()

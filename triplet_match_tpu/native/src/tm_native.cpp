@@ -209,4 +209,105 @@ int64_t tm_pair_pass(const float* xyz, const float* tangent, const uint8_t* edge
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// LZF (libLZF stream format) — PCD "binary_compressed" payloads.
+//
+// PCL writes binary_compressed bodies as an LZF stream of the field-major
+// (SoA) point data (pcl/io/lzf.cpp; loaded by pointcloud::from_pcd via PCL,
+// /root/reference/include/impl/pointcloud.hpp:58-64).  The stream format is
+// fixed by liblzf (Marc Lehmann, BSD): control byte < 32 = literal run of
+// ctrl+1 bytes; otherwise a back-reference of length (ctrl>>5)+2 (+extra
+// byte when the 3-bit length saturates) at offset ((ctrl&31)<<8 | next)+1.
+// Bit-compatible by necessity, like MurmurHash3 above.
+// ---------------------------------------------------------------------------
+
+// Returns decompressed byte count, or 0 on malformed input / overflow.
+int64_t tm_lzf_decompress(const uint8_t* in, int64_t in_len,
+                          uint8_t* out, int64_t out_cap) {
+  int64_t i = 0, o = 0;
+  while (i < in_len) {
+    uint32_t ctrl = in[i++];
+    if (ctrl < 32u) {
+      int64_t len = ctrl + 1;
+      if (i + len > in_len || o + len > out_cap) return 0;
+      std::memcpy(out + o, in + i, len);
+      i += len;
+      o += len;
+    } else {
+      int64_t len = ctrl >> 5;
+      if (len == 7) {
+        if (i >= in_len) return 0;
+        len += in[i++];
+      }
+      len += 2;
+      if (i >= in_len) return 0;
+      int64_t ref = o - (static_cast<int64_t>(ctrl & 0x1f) << 8) - in[i++] - 1;
+      if (ref < 0 || o + len > out_cap) return 0;
+      // byte-by-byte: source and destination may overlap
+      for (int64_t j = 0; j < len; ++j) out[o + j] = out[ref + j];
+      o += len;
+    }
+  }
+  return o;
+}
+
+// Returns compressed byte count, or 0 when the output does not fit in
+// out_cap (callers should fall back to storing uncompressed).
+int64_t tm_lzf_compress(const uint8_t* in, int64_t in_len,
+                        uint8_t* out, int64_t out_cap) {
+  constexpr int HLOG = 13;
+  constexpr int64_t MAX_OFF = 1 << 13;
+  constexpr int64_t MAX_REF = (1 << 8) + (1 << 3);  // 264
+  constexpr int64_t MAX_LIT = 32;
+  std::vector<int64_t> htab(1 << HLOG, -1);
+
+  int64_t i = 0, o = 0, lit_start = 0, lit = 0;
+  auto flush_lit = [&]() -> bool {
+    while (lit > 0) {
+      int64_t run = std::min(lit, MAX_LIT);
+      if (o + 1 + run > out_cap) return false;
+      out[o++] = static_cast<uint8_t>(run - 1);
+      std::memcpy(out + o, in + lit_start, run);
+      o += run;
+      lit_start += run;
+      lit -= run;
+    }
+    return true;
+  };
+
+  while (i < in_len - 2) {
+    uint32_t h = (static_cast<uint32_t>(in[i]) << 16) |
+                 (static_cast<uint32_t>(in[i + 1]) << 8) | in[i + 2];
+    h = ((h >> (24 - HLOG)) - h * 5) & ((1 << HLOG) - 1);
+    int64_t ref = htab[h];
+    htab[h] = i;
+    int64_t off = i - ref - 1;
+    if (ref >= 0 && off < MAX_OFF && in[ref] == in[i] &&
+        in[ref + 1] == in[i + 1] && in[ref + 2] == in[i + 2]) {
+      int64_t maxlen = std::min(in_len - i, MAX_REF);
+      int64_t len = 3;
+      while (len < maxlen && in[ref + len] == in[i + len]) ++len;
+      if (!flush_lit()) return 0;
+      int64_t stored = len - 2;
+      if (stored < 7) {
+        if (o + 2 > out_cap) return 0;
+        out[o++] = static_cast<uint8_t>((off >> 8) | (stored << 5));
+      } else {
+        if (o + 3 > out_cap) return 0;
+        out[o++] = static_cast<uint8_t>((off >> 8) | (7 << 5));
+        out[o++] = static_cast<uint8_t>(stored - 7);
+      }
+      out[o++] = static_cast<uint8_t>(off & 0xff);
+      i += len;
+      lit_start = i;
+    } else {
+      ++i;
+      ++lit;
+    }
+  }
+  lit = in_len - lit_start;  // literal run through the end of the input
+  if (!flush_lit()) return 0;
+  return o;
+}
+
 }  // extern "C"
