@@ -1,0 +1,128 @@
+"""2-D mesh (dp x sp) search: equivalence with the single-chip round and
+per-device scene-memory reduction."""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import invert_rigid, pose_delta
+from triplet_match_tpu.index.model import compile_model
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+from triplet_match_tpu.parallel.search2d import SP_AXIS, make_mesh_2d, search_round_2d
+from triplet_match_tpu.search import score_pallas as sp
+from triplet_match_tpu.search.driver import prepare_scene, search_round
+
+POLICY = SearchPolicy(
+    num_first_samples=32,
+    num_second_samples=8,
+    query_cap=8,
+    score_neighbors=256,
+    second_pool=64,
+    finalists=4,
+    max_rounds=2,
+    scorer="pallas",
+    pallas_interpret=True,
+)
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          POLICY, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11,
+        capacity=-(-(960 + 400) // 8) * 8,  # divisible by 8 for sp sharding
+    )
+    prep = prepare_scene(scene, POLICY)
+    mpack = sp.pack_model(model)
+    return model, prep, t_gt, mpack
+
+
+def _run_single(model, prep, mpack, key):
+    n = prep.cloud.xyz.shape[0]
+    res, consumed, fp = jax.jit(
+        partial(
+            search_round,
+            discretization=DISC, sample_params=SAMPLE, policy=POLICY,
+            max_icp_iterations=5,
+        )
+    )(model, prep, jnp.zeros(n, bool), jnp.zeros(n, bool), key,
+      jnp.float32(3.0), jnp.float32(0.5), mpack)
+    return res, consumed, fp
+
+
+def _run_2d(model, prep, mpack, key, dp, spx):
+    mesh = make_mesh_2d(dp, spx)
+    n = prep.cloud.xyz.shape[0]
+    res, consumed, fp = jax.jit(
+        partial(
+            search_round_2d, mesh,
+            discretization=DISC, sample_params=SAMPLE, policy=POLICY,
+            max_icp_iterations=5,
+        )
+    )(model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool), jnp.zeros(n, bool),
+      key, jnp.float32(3.0), jnp.float32(0.5), mpack)
+    return res, consumed, fp
+
+
+def test_sp_sharded_round_matches_single_chip(setup):
+    """dp=1, sp=4: identical samples and matches vs the single-chip round.
+
+    The 2-D round folds the dp slice index into the key (every dp slice is
+    its own RANSAC chunk, like parallel.search.search_round_dp); the
+    single-chip round IS dp slice 0, so it runs with fold_in(key, 0).
+    """
+    model, prep, t_gt, mpack = setup
+    key = jax.random.PRNGKey(7)
+    r1, c1, f1 = _run_single(model, prep, mpack, jax.random.fold_in(key, 0))
+    r2, c2, f2 = _run_2d(model, prep, mpack, key, 1, 4)
+
+    np.testing.assert_array_equal(np.asarray(r1.accept), np.asarray(r2.accept))
+    np.testing.assert_array_equal(np.asarray(r1.count), np.asarray(r2.count))
+    assert int(r1.hypotheses_scored) == int(r2.hypotheses_scored)
+    np.testing.assert_allclose(
+        np.asarray(r1.transform), np.asarray(r2.transform), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    # the round actually found the instance
+    assert np.asarray(r1.accept).any()
+
+
+def test_dp_sp_mesh_finds_instance(setup):
+    """2x4 mesh: correct match, scene arrays sharded 4x across devices."""
+    model, prep, t_gt, mpack = setup
+    key = jax.random.PRNGKey(3)
+    res, consumed, fp = _run_2d(model, prep, mpack, key, 2, 4)
+    accept = np.asarray(res.accept)
+    assert accept.any()
+    f = int(np.argmax(np.asarray(res.count) * accept))
+    t_inv = np.asarray(invert_rigid(res.transform[f]))
+    dt, dr = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.5
+
+    # per-device scene memory drops 4x: corr fields shard over sp
+    shards = res.new_corr.addressable_shards
+    n = prep.cloud.xyz.shape[0]
+    assert shards[0].data.shape[-1] == n // 4
+
+
+def test_dp_slices_sample_disjoint_chunks(setup):
+    """dp slices use folded keys: fp marks ~2x the firsts of a 1-dp run."""
+    model, prep, t_gt, mpack = setup
+    key = jax.random.PRNGKey(5)
+    _, _, fp1 = _run_2d(model, prep, mpack, key, 1, 4)
+    _, _, fp2 = _run_2d(model, prep, mpack, key, 2, 4)
+    n1 = int(np.asarray(fp1).sum())
+    n2 = int(np.asarray(fp2).sum())
+    assert n2 > n1  # second dp slice contributed additional firsts

@@ -51,7 +51,7 @@ def base_transform(src_i, src_j, src_t, tgt_i, tgt_j, tgt_t) -> jax.Array:
     return out
 
 
-def weighted_kabsch(src, dst, w) -> jax.Array:
+def weighted_kabsch(src, dst, w, axis_name: str | None = None) -> jax.Array:
     """Least-squares rigid transform mapping src -> dst under weights.
 
     Semantics of ``Eigen::umeyama(src, dst, with_scaling=false)``
@@ -60,16 +60,34 @@ def weighted_kabsch(src, dst, w) -> jax.Array:
 
     Args:
       src, dst: [..., N, 3]; w: [..., N] nonnegative weights (mask).
+      axis_name: when src/dst/w are point-axis shards of a mesh-sharded
+        cloud (inside shard_map), the moment sums psum over this axis so
+        every shard computes the identical global fit.
     Returns:
       [..., 4, 4].  Degenerate inputs (all-zero weights) return identity.
     """
-    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
-    wn = w / wsum
-    mu_s = jnp.einsum("...n,...nd->...d", wn, src, precision=_HI)
-    mu_d = jnp.einsum("...n,...nd->...d", wn, dst, precision=_HI)
-    ds = src - mu_s[..., None, :]
-    dd = dst - mu_d[..., None, :]
-    sigma = jnp.einsum("...n,...nd,...ne->...de", wn, dd, ds, precision=_HI)  # cov(dst, src)
+
+    def _reduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    if axis_name is None:
+        wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+        wn = w / wsum
+        mu_s = jnp.einsum("...n,...nd->...d", wn, src, precision=_HI)
+        mu_d = jnp.einsum("...n,...nd->...d", wn, dst, precision=_HI)
+        ds = src - mu_s[..., None, :]
+        dd = dst - mu_d[..., None, :]
+        sigma = jnp.einsum("...n,...nd,...ne->...de", wn, dd, ds, precision=_HI)  # cov(dst, src)
+    else:
+        # raw-moment formulation: every term is a plain sum over points, so
+        # one psum round yields the global fit from shard-local pieces
+        wsum = jnp.maximum(_reduce(jnp.sum(w, axis=-1, keepdims=True)), 1e-12)
+        sw_s = _reduce(jnp.einsum("...n,...nd->...d", w, src, precision=_HI))
+        sw_d = _reduce(jnp.einsum("...n,...nd->...d", w, dst, precision=_HI))
+        sw_ds = _reduce(jnp.einsum("...n,...nd,...ne->...de", w, dst, src, precision=_HI))
+        mu_s = sw_s / wsum
+        mu_d = sw_d / wsum
+        sigma = sw_ds / wsum - mu_d[..., :, None] * mu_s[..., None, :]
 
     u, s, vt = jnp.linalg.svd(sigma)
     det = jnp.linalg.det(jnp.matmul(u, vt, precision=_HI))
@@ -77,7 +95,7 @@ def weighted_kabsch(src, dst, w) -> jax.Array:
     r = jnp.matmul(u, fix[..., :, None] * vt, precision=_HI)
     t = mu_d - jnp.einsum("...ij,...j->...i", r, mu_s, precision=_HI)
 
-    degenerate = jnp.sum(w, axis=-1) <= 1e-12
+    degenerate = _reduce(jnp.sum(w, axis=-1)) <= 1e-12
     eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), r.shape)
     r = jnp.where(degenerate[..., None, None], eye, r)
     t = jnp.where(degenerate[..., None], 0.0, t)

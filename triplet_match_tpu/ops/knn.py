@@ -222,6 +222,7 @@ def radius_sample(
     *,
     block: int = 256,
     ref_block: int | None = None,
+    prio: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Uniform random sample of up to ``k`` in-radius points per query.
 
@@ -238,6 +239,11 @@ def radius_sample(
     When the ball holds <= k points this returns exactly the ball
     (priority order), so sparse scenes are unaffected.
 
+    ``prio`` (optional [N]) supplies the per-point priorities explicitly —
+    pass shard-invariant hash priorities (sampling.hash_uniform over global
+    indices) when the reference set is a shard of a mesh-sharded scene, so
+    every layout samples identically; ``key`` is ignored then.
+
     Returns (indices [Q, k] int32, mask [Q, k] bool).
     """
     qn = q.shape[0]
@@ -247,7 +253,9 @@ def radius_sample(
     qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
     rad2 = jnp.asarray(radius, jnp.float32) ** 2
     # per-point uniform priorities; invalid points get +inf
-    prio = jnp.where(r_valid, jax.random.uniform(key, (n,)), _INF)
+    if prio is None:
+        prio = jax.random.uniform(key, (n,))
+    prio = jnp.where(r_valid, prio, _INF)
     nrb = -(-n // rb)
     r_p = _pad_rows(r, nrb * rb).reshape(nrb, rb, 3)
     prio_p = jnp.pad(prio, (0, nrb * rb - n), constant_values=_INF).reshape(nrb, rb)

@@ -1,0 +1,328 @@
+"""2-D mesh search: hypothesis data parallelism x scene-point sharding.
+
+Extends the 1-D shardings of ``parallel/search.py`` to a ("dp", "sp") mesh:
+
+* the **dp** axis replays the reference's ``std::async`` chunking
+  (impl/scene.hpp:146-166) — each dp slice samples its own RANSAC chunk
+  with a folded key and finalists join over ICI;
+* the **sp** axis shards every scene-length array (positions, normals,
+  tangents, masks) across devices — per-device scene memory drops by the
+  sp extent, the "multi-host scenes" story of SURVEY §2/§5.  Within a dp
+  slice, sp shards cooperate on the SAME sample set.
+
+Cooperation without replicating the scene requires every random choice to
+be a pure function of (key, global point index): ``sampling.hash_uniform``
+priorities make first sampling and ball sampling shard-invariant, so a
+1x1 mesh, an 8x1 mesh, and a 2x4 mesh draw byte-identical samples for the
+same key (tested in tests/test_parallel2d.py).
+
+Structure of one round (per device, under shard_map):
+  1. firsts:   local hash-priority top-B1 over the shard -> all_gather(sp)
+               -> global top-B1 (attributes carried, no cross-shard gather)
+  2. balls:    ops.knn.radius_sample on the LOCAL shard with global-index
+               priorities -> per-first top-K merge over sp, carrying the
+               8 scene channels the Pallas kernel consumes
+  3. pairs:    gates/features/query/base_transform on the replicated
+               [B1, B2] sample arrays (model index is replicated)
+  4. scoring:  fused Pallas kernel on the merged channel groups
+  5. join:     local top-F finalists -> all_gather(dp) -> global top-F
+  6. finalize: ICP + greedy acceptance with psum(sp) reductions
+               (finish_find and weighted_kabsch take axis_name).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.transforms import base_transform
+from triplet_match_tpu.features import pairfeat as pf
+from triplet_match_tpu.index.model import CompiledModel, query_pairs
+from triplet_match_tpu.ops.knn import radius_sample
+from triplet_match_tpu.refine.icp import icp_refine
+from triplet_match_tpu.search.driver import RoundResult
+from triplet_match_tpu.search.sampling import hash_uniform
+
+DP_AXIS = "dp"
+SP_AXIS = "sp"
+
+_FAR = 1.0e6
+_INF = jnp.float32(3.0e38)
+
+
+def make_mesh_2d(dp: int, sp: int) -> Mesh:
+    import numpy as np
+
+    devs = jax.devices()
+    assert len(devs) >= dp * sp, f"need {dp * sp} devices, have {len(devs)}"
+    return Mesh(np.array(devs[: dp * sp]).reshape(dp, sp), (DP_AXIS, SP_AXIS))
+
+
+def _merge_sp_topk(prio, k: int, *vals):
+    """Merge per-shard candidate lists into the global top-k by priority.
+
+    prio: [..., kl] local candidate priorities (ascending = better).
+    vals: arrays [..., kl] or [..., kl, C] carried alongside.
+    Returns (prio [..., k], vals') — identical on every sp shard.
+    """
+    pr = lax.all_gather(prio, SP_AXIS, axis=prio.ndim - 1, tiled=True)
+    neg, slots = lax.top_k(-pr, k)
+    out = []
+    for v in vals:
+        ax = prio.ndim - 1
+        vg = lax.all_gather(v, SP_AXIS, axis=ax, tiled=True)
+        sl = slots.reshape(slots.shape + (1,) * (v.ndim - prio.ndim))
+        out.append(jnp.take_along_axis(vg, jnp.broadcast_to(sl, slots.shape + v.shape[prio.ndim:]), axis=ax))
+    return -neg, out
+
+
+class _Samples(NamedTuple):
+    prio: jax.Array
+    gidx: jax.Array
+    xyz: jax.Array
+    tangent: jax.Array
+
+
+def search_round_2d(
+    mesh: Mesh,
+    model: CompiledModel,
+    cloud,  # PointCloud, point axis sharded over SP_AXIS
+    tangent_mask: jax.Array,
+    consumed: jax.Array,
+    fp_mask: jax.Array,
+    key: jax.Array,
+    dist_thres,
+    model_match_factor,
+    mpack,
+    *,
+    discretization: DiscretizationParams,
+    sample_params: SampleParams,
+    policy: SearchPolicy,
+    max_icp_iterations: int,
+):
+    """One search round on a (dp, sp) mesh.
+
+    Returns (RoundResult, consumed', fp') — per-point fields sharded over
+    sp, everything else replicated.  With the same key, a (1, 1) mesh
+    reproduces the single-chip ``search_round`` byte-for-byte on sampling
+    and within float-reduction tolerance on poses.
+    """
+    b1, b2 = policy.num_first_samples, policy.num_second_samples
+    qcap = policy.query_cap
+    ks = policy.score_neighbors
+    fin = policy.finalists
+
+    lower = model.diameter * sample_params.min_diameter_factor
+    upper = model.diameter * sample_params.max_diameter_factor
+
+    def per_device(model, mpack, cloud, tangent_mask, consumed, fp_mask, key,
+                   dist_thres, model_match_factor):
+        dp_i = lax.axis_index(DP_AXIS)
+        sp_i = lax.axis_index(SP_AXIS)
+        nl = cloud.xyz.shape[0]
+        offset = sp_i * nl
+        gidx = offset + jnp.arange(nl, dtype=jnp.int32)
+        thres = jnp.float32(dist_thres) * model.resolution
+
+        key_d = jax.random.fold_in(key, dp_i)
+        k1, k2, k3, k4 = jax.random.split(key_d, 4)
+
+        # --- 1. firsts: local top-B1 by hash priority, merged over sp ---
+        eligible_first = tangent_mask & ~consumed & ~fp_mask & cloud.valid
+        pr1 = jnp.where(eligible_first, hash_uniform(k1, gidx, salt=1), _INF)
+        kl = min(b1, nl)
+        negl, lidx = lax.top_k(-pr1, kl)
+        f_local = _Samples(-negl, gidx[lidx], cloud.xyz[lidx], cloud.tangent[lidx])
+        fpr, (f_gidx, f_xyz, f_tan) = _merge_sp_topk(
+            f_local.prio, b1, f_local.gidx, f_local.xyz, f_local.tangent
+        )
+        firsts_valid = fpr < _INF
+
+        # --- 2. neighborhood + pool balls on the local shard, merged ---
+        # scoring ball: any-kind points (impl/scene.hpp:273,432)
+        nb_idx, nb_ok = radius_sample(
+            k3, f_xyz, cloud.xyz, cloud.valid, model.diameter, ks,
+            block=min(b1, 256), prio=hash_uniform(k3, gidx),
+        )
+        nb_pr = jnp.where(nb_ok, hash_uniform(k3, gidx[nb_idx]), _INF)
+        # channels the kernel consumes (score_pallas.pack_groups layout)
+        use_tan = tangent_mask[nb_idx]
+        elig = nb_ok & cloud.valid[nb_idx] & ~consumed[nb_idx]
+        if not policy.samples_on_all:
+            elig = elig & (jnp.linalg.norm(cloud.tangent[nb_idx], axis=-1) > 0.7)
+        ref = jnp.where(use_tan[..., None], cloud.tangent[nb_idx], cloud.normal[nb_idx])
+        ch = jnp.concatenate(
+            [
+                jnp.where(elig[..., None], cloud.xyz[nb_idx], _FAR),
+                use_tan[..., None].astype(jnp.float32),
+                elig[..., None].astype(jnp.float32),
+                ref,
+            ],
+            axis=-1,
+        )  # [B1, K, 8]
+        _, (ch_m,) = _merge_sp_topk(nb_pr, ks, ch)
+        groups = jnp.swapaxes(ch_m, 1, 2)  # [B1, 8, K]
+
+        # second pool: edge candidates (impl/scene.hpp:284-290)
+        second_eligible = tangent_mask & ~consumed & cloud.valid
+        pl_idx, pl_ok = radius_sample(
+            k4, f_xyz, cloud.xyz, second_eligible, model.diameter,
+            policy.second_pool, block=min(b1, 256), prio=hash_uniform(k4, gidx),
+        )
+        pl_pr = jnp.where(pl_ok, hash_uniform(k4, gidx[pl_idx]), _INF)
+        pl_ch = jnp.concatenate(
+            [cloud.xyz[pl_idx], cloud.tangent[pl_idx]], axis=-1
+        )  # [B1, P, 6]
+        pl_prm, (pl_chm, pl_gidx) = _merge_sp_topk(
+            pl_pr, policy.second_pool, pl_ch, gidx[pl_idx]
+        )
+        pool_ok = pl_prm < _INF
+
+        # --- seconds: B2 distinct uniform draws from the merged pool ---
+        not_self = pl_gidx != f_gidx[:, None]
+        sec_elig = pool_ok & not_self & firsts_valid[:, None]
+        g = jax.random.gumbel(k2, sec_elig.shape)
+        gs = jnp.where(sec_elig, g, -jnp.inf)
+        top, slots = lax.top_k(gs, b2)  # [B1, B2]
+        take = lambda a: jnp.take_along_axis(a, slots[..., None], axis=1)
+        p1 = take(pl_chm[..., 0:3])
+        t1 = take(pl_chm[..., 3:6])
+        sec_valid = jnp.take_along_axis(sec_elig, slots, axis=1) & jnp.isfinite(top)
+
+        # --- 3. pair gates -> features -> model query -> hypotheses ---
+        p0 = f_xyz[:, None, :]
+        t0 = f_tan[:, None, :]
+        gates = pf.pair_gates(p0, p1, t0, lower, upper, policy.pair_parallel_epsilon)
+        feats = pf.pair_feature(p0, p1, t0, t1)
+        fval = pf.feature_valid(feats, model.bounds_min, model.bounds_max)
+        pair_ok = sec_valid & gates & fval
+
+        mpairs, mvalid = query_pairs(model, feats, discretization, qcap,
+                                     limit=policy.query_limit)
+        m_i, m_j = mpairs[..., 0], mpairs[..., 1]
+        hyp_ok = pair_ok[..., None] & mvalid
+        ts = base_transform(
+            jnp.broadcast_to(p0[:, :, None, :], (b1, b2, qcap, 3)),
+            jnp.broadcast_to(p1[:, :, None, :], (b1, b2, qcap, 3)),
+            jnp.broadcast_to(t0[:, :, None, :], (b1, b2, qcap, 3)),
+            model.cloud.xyz[m_i],
+            model.cloud.xyz[m_j],
+            model.cloud.tangent[m_i],
+        )
+        if sample_params.force_up:
+            hyp_ok = hyp_ok & (jnp.abs(1.0 - ts[..., 2, 2]) <= 0.01)
+
+        # --- 4. fused kernel scoring on the merged groups ---
+        from triplet_match_tpu.search import score_pallas as sp
+
+        rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
+        okg = hyp_ok.reshape(b1, b2 * qcap)
+        if policy.early_drop and policy.two_phase_scoring and ks >= 256:
+            s_pl, _ = sp.score_groups_two_phase(
+                mpack, groups, rows, thres * thres, okg,
+                mode="count", pose_tile=16,
+                coarse_stride=policy.two_phase_stride,
+                keep_frac=policy.two_phase_keep_frac,
+                interpret=policy.pallas_interpret,
+            )
+        else:
+            s_pl, _ = sp.score_groups_pallas(
+                mpack, groups, rows, thres * thres,
+                mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+            )
+        scores = jnp.where(okg, s_pl, -1.0).reshape(-1)
+        # hyp_ok is replicated across sp (built from merged samples), so the
+        # total only reduces over dp
+        n_hyp = jnp.sum(hyp_ok.astype(jnp.int32))
+
+        # --- 5. finalist join over dp ---
+        _, best = lax.top_k(scores, fin)
+        t_local = ts.reshape(-1, 4, 4)[best]
+        s_local = scores[best]
+        t_all = lax.all_gather(t_local, DP_AXIS).reshape(-1, 4, 4)
+        s_all = lax.all_gather(s_local, DP_AXIS).reshape(-1)
+        _, gbest = lax.top_k(s_all, fin)
+        t_best = t_all[gbest]
+        n_hyp_all = lax.psum(n_hyp, DP_AXIS)
+
+        # --- 6. ICP + greedy acceptance with sp reductions ---
+        icp = jax.vmap(
+            lambda t: icp_refine(
+                model, cloud, tangent_mask, consumed, t, dist_thres,
+                max_icp_iterations,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
+                point_to_plane=policy.icp_point_to_plane,
+                samples_on_all=policy.samples_on_all,
+                axis_name=SP_AXIS,
+            )
+        )(t_best)
+        corr_valid = icp.corrs.valid  # [F, Nl] sharded
+        fin_counts = icp.corrs.count  # [F] replicated (psum'd)
+
+        order = jnp.argsort(-fin_counts)
+        min_pts = jnp.floor(
+            model_match_factor * model.n_edge.astype(jnp.float32)
+        ).astype(jnp.int32)
+        min_pts_all = jnp.floor(
+            model_match_factor * model.n_all.astype(jnp.float32)
+        ).astype(jnp.int32)
+
+        def accept_step(used, f):
+            cv = corr_valid[f]
+            new = cv & ~used
+            score_t = lax.psum(jnp.sum((new & tangent_mask).astype(jnp.int32)), SP_AXIS)
+            score_all = lax.psum(jnp.sum(new.astype(jnp.int32)), SP_AXIS)
+            ok = (score_t >= min_pts) & (score_all >= min_pts_all)
+            used = jnp.where(ok, used | cv, used)
+            return used, (ok, new)
+
+        _, (acc_ord, new_ord) = lax.scan(accept_step, consumed, order)
+        inv_order = jnp.argsort(order)
+        accept = acc_ord[inv_order]
+        new_corr = new_ord[inv_order]
+
+        consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
+        # fp marks this shard's sampled firsts (global -> local index)
+        f_local_idx = f_gidx - offset
+        in_shard = (f_local_idx >= 0) & (f_local_idx < nl) & firsts_valid
+        # every dp slice sampled its own firsts; OR-reduce marks over dp
+        fp_marks = jnp.zeros(nl, jnp.int32).at[jnp.clip(f_local_idx, 0, nl - 1)].max(
+            in_shard.astype(jnp.int32)
+        )
+        fp_next = fp_mask | (lax.psum(fp_marks, DP_AXIS) > 0)
+
+        result = RoundResult(
+            transform=icp.transform,
+            accept=accept,
+            new_corr=new_corr,
+            model_idx=icp.corrs.model_idx,
+            count=fin_counts,
+            score=icp.corrs.score,
+            hypotheses_scored=n_hyp_all,
+        )
+        return result, consumed_next, fp_next
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(SP_AXIS), P(SP_AXIS), P(SP_AXIS), P(SP_AXIS), P(), P(), P()),
+        out_specs=(
+            RoundResult(
+                transform=P(), accept=P(), new_corr=P(None, SP_AXIS),
+                model_idx=P(None, SP_AXIS), count=P(), score=P(),
+                hypotheses_scored=P(),
+            ),
+            P(SP_AXIS),
+            P(SP_AXIS),
+        ),
+        check_vma=False,
+    )
+    return shard(model, mpack, cloud, tangent_mask, consumed, fp_mask, key,
+                 jnp.float32(dist_thres), jnp.float32(model_match_factor))

@@ -44,6 +44,7 @@ def icp_refine(
     negative_scores: bool = False,
     point_to_plane: bool = False,
     samples_on_all: bool = True,
+    axis_name: str | None = None,
 ) -> IcpResult:
     """Refine a single pose (use vmap for a batch).
 
@@ -57,10 +58,15 @@ def icp_refine(
     """
     relaxed = 2.0 * dist_thres  # impl/scene.hpp:373,395
 
+    if point_to_plane and axis_name is not None:
+        raise NotImplementedError(
+            "point_to_plane polish is not yet supported on scene-sharded ICP"
+        )
+
     def _ff(t, thres, exact=False):
         return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
                            weighted_distance=weighted_distance, negative_scores=negative_scores,
-                           samples_on_all=samples_on_all)
+                           samples_on_all=samples_on_all, axis_name=axis_name)
 
     best = _ff(t0, relaxed)
     if max_iterations == 0:
@@ -73,7 +79,8 @@ def icp_refine(
     def body(state):
         t_best, corrs, it, _ = state
         w = corrs.valid.astype(jnp.float32)
-        t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
+        t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w,
+                                axis_name=axis_name)
         proj = _ff(t_new, relaxed)
         improved = proj.count >= corrs.count  # strict shrink stops (impl/scene.hpp:396)
         t_next = jnp.where(improved, t_new, t_best)
@@ -120,7 +127,8 @@ def icp_refine(
                 )
                 t_new = upd @ t
             else:
-                t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w)
+                t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w,
+                                        axis_name=axis_name)
             return jnp.where(corrs.count >= 3, t_new, t)
 
         # Unconditional: the relaxed corr count slightly *prefers* the

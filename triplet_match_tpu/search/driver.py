@@ -49,7 +49,7 @@ from triplet_match_tpu.ops.curvature import (
 )
 from triplet_match_tpu.ops.knn import radius_sample
 from triplet_match_tpu.refine.icp import icp_refine
-from triplet_match_tpu.search.sampling import sample_firsts, sample_seconds
+from triplet_match_tpu.search.sampling import hash_uniform, sample_firsts, sample_seconds
 from triplet_match_tpu.search.score import _score_points, normalize_score
 
 
@@ -216,9 +216,10 @@ def hypothesize_and_score(
     # silently truncate dense balls to the region around the first point,
     # where competing hypotheses are least distinguishable (see
     # ops.knn.radius_sample); balls smaller than K are returned whole.
+    gidx = jnp.arange(cloud.xyz.shape[0], dtype=jnp.int32)
     nbr_idx, nbr_in_r = radius_sample(
         k3, cloud.xyz[firsts.idx], cloud.xyz, cloud.valid, model.diameter, ks,
-        block=min(b1, 256),
+        block=min(b1, 256), prio=hash_uniform(k3, gidx),
     )
     # second-sample pool: EDGE points within the model diameter, uniformly
     # sampled — the reference walks the ball in shuffled order and skips
@@ -226,7 +227,7 @@ def hypothesize_and_score(
     second_eligible = prep.tangent_mask & ~consumed & cloud.valid
     pool_idx, pool_in_r = radius_sample(
         k4, cloud.xyz[firsts.idx], cloud.xyz, second_eligible, model.diameter,
-        policy.second_pool, block=min(b1, 256),
+        policy.second_pool, block=min(b1, 256), prio=hash_uniform(k4, gidx),
     )
     seconds = sample_seconds(k2, firsts, pool_idx, pool_in_r, second_eligible, b2)
 

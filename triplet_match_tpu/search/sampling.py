@@ -23,17 +23,49 @@ import jax
 import jax.numpy as jnp
 
 
+def hash_uniform(key, idx: jax.Array, salt: int = 0) -> jax.Array:
+    """Per-element uniform [0,1) priorities from (key, GLOBAL index, salt).
+
+    Shard-invariant by construction: the value depends only on the element's
+    global index, not on array shape or device layout — so a scene sharded
+    over an ``sp`` mesh axis draws EXACTLY the same samples as a replicated
+    one (a shaped ``jax.random.uniform`` draw would not).  Mixing is the
+    murmur3 finalizer over the key data, run twice.
+    """
+    kd = jax.random.key_data(jax.random.fold_in(key, salt)).astype(jnp.uint32)
+    kd = kd.reshape(-1)
+    x = idx.astype(jnp.uint32) ^ kd[0]
+
+    def fmix(x):
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
+        return x
+
+    x = fmix(x)
+    x = fmix(x ^ kd[-1])
+    return x.astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
 class FirstSamples(NamedTuple):
     idx: jax.Array  # [B1] int32 scene indices
     valid: jax.Array  # [B1] bool
 
 
-def sample_firsts(key, eligible: jax.Array, b1: int) -> FirstSamples:
-    """B1 distinct indices from the eligibility mask (Gumbel top-k)."""
+def sample_firsts(key, eligible: jax.Array, b1: int,
+                  offset: int | jax.Array = 0) -> FirstSamples:
+    """B1 distinct uniform indices from the eligibility mask.
+
+    Priorities are hash_uniform over GLOBAL indices (local index +
+    ``offset``), so sharded and replicated runs sample identically; the
+    returned indices are local.
+    """
     n = eligible.shape[0]
-    g = jax.random.gumbel(key, (n,))
-    scores = jnp.where(eligible, g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, b1)
+    gidx = jnp.arange(n, dtype=jnp.int32) + offset
+    pr = jnp.where(eligible, hash_uniform(key, gidx, salt=1), jnp.inf)
+    _, idx = jax.lax.top_k(-pr, b1)
     return FirstSamples(idx.astype(jnp.int32), eligible[idx])
 
 

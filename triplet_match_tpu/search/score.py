@@ -154,12 +154,17 @@ class DenseCorrs(NamedTuple):
 
 def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thres,
                 exact: bool = False, weighted_distance: bool = False,
-                negative_scores: bool = False, samples_on_all: bool = True) -> DenseCorrs:
+                negative_scores: bool = False, samples_on_all: bool = True,
+                axis_name: str | None = None) -> DenseCorrs:
     """Score one pose against ALL scene points -> dense correspondences.
 
     Analog of ``scene::finish_find`` (impl/scene.hpp:100-106): project_ over
     the full cloud, no early-out.  ``exact=True`` switches correspondences
     to LUT-seeded exact nearest neighbors (the ``naive_corrs`` analog).
+
+    ``axis_name``: when the scene arrays are a shard of a mesh-sharded
+    scene (inside shard_map), per-point outputs stay shard-local and the
+    scalar score/count psum over that axis.
     """
     thres = jnp.float32(dist_thres) * model.resolution
     n = scene.xyz.shape[0]
@@ -169,6 +174,9 @@ def finish_find(model: CompiledModel, scene, tangent_mask, consumed, t, dist_thr
         exact=exact, weighted_distance=weighted_distance, negative_scores=negative_scores,
         samples_on_all=samples_on_all,
     )
+    if axis_name is not None:
+        score = lax.psum(score, axis_name)
+        count = lax.psum(count, axis_name)
     return DenseCorrs(model_idx=midx.astype(jnp.int32), valid=ok, score=score, count=count)
 
 
