@@ -86,16 +86,39 @@ def config2_cylinder(small):
           seconds=time.perf_counter() - t0)
 
 
-def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
-                  mmf=0.5):
-    import jax
+def _sym_delta(transform, t_gt):
+    """Pose delta against the best box-symmetry-equivalent ground truth.
+
+    The synthetic box has a {I, Rx(pi), Ry(pi), Rz(pi)} symmetry group:
+    symmetric poses are geometrically identical matches (pair features
+    cannot distinguish them — true for the reference as well).
+    """
     import jax.numpy as jnp
+
+    from triplet_match_tpu.core.transforms import pose_delta
+    from triplet_match_tpu.io.synthetic import rotation_matrix
+
+    best = (np.inf, np.inf)
+    for axis in [None, [1, 0, 0], [0, 1, 0], [0, 0, 1]]:
+        tg = np.asarray(t_gt).copy()
+        if axis is not None:
+            tg[:3, :3] = tg[:3, :3] @ rotation_matrix(axis, np.pi)
+        dt, dr = pose_delta(jnp.asarray(transform), jnp.asarray(tg))
+        dt, dr = float(dt), float(np.degrees(float(dr)))
+        # combined metric: 1 deg of rotation ~ diameter/100 of translation
+        if dt + 0.01 * dr < best[0] + 0.01 * best[1]:
+            best = (dt, dr)
+    return best
+
+
+def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
+                  mmf=0.5, two_models=False):
+    import jax
 
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
     from triplet_match_tpu.core.cloud import PointCloud
-    from triplet_match_tpu.core.transforms import pose_delta
     from triplet_match_tpu.index.model import compile_model
-    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model, rotation_matrix
+    from triplet_match_tpu.io.synthetic import make_box_model, rotation_matrix
     from triplet_match_tpu.search.driver import find_all, find_all_multi, prepare_scene
 
     if small:
@@ -104,15 +127,29 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
     policy = SearchPolicy()
 
-    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    # model A always; model B (a differently-proportioned box) for the
+    # genuine multi-model config
+    specs = [((1.0, 0.8, 0.6), 0, np.array([0.0, 0.0, 0.0], np.float32),
+              rotation_matrix([0.3, 1.0, 0.2], 1.1))]
+    if two_models:
+        specs.append(((1.3, 0.45, 0.85), 50, np.array([2.6, 2.4, 0.3], np.float32),
+                      rotation_matrix([0.9, -0.2, 0.4], 2.0)))
+
     tc0 = time.perf_counter()
-    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
-    jax.block_until_ready(model.keys)
+    models, insts = [], []
+    for size, seed, t_off, r_inst in specs:
+        xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=size, seed=seed)
+        m = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
+        jax.block_until_ready(m.keys)
+        models.append(m)
+        insts.append((xyz, nrm, tan, t_off, r_inst))
     t_compile = time.perf_counter() - tc0
 
     # clutter as scattered surface patches (real scans are surfaces, not
     # volumetric fog — uniform volume clutter makes raycast verification
-    # physically meaningless because every ray is fogged out)
+    # physically meaningless because every ray is fogged out).  Patches are
+    # placed uniformly with NO clearance: they may touch, cross, or overlap
+    # the instances — scoring must discriminate against contact clutter.
     rngc = np.random.default_rng(17)
     from triplet_match_tpu.io.synthetic import make_plane_patch
 
@@ -124,21 +161,23 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
                                        border_edges=False)
         rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
         tt = rngc.uniform(-5, 5, 3).astype(np.float32)
-        # clearance ball: patches (half-extent ~1.06) must not reach the
-        # instance at the origin (box half-diagonal ~0.71)
-        norm = np.linalg.norm(tt)
-        if norm < 2.2:
-            tt = tt / max(norm, 1e-6) * rngc.uniform(2.2, 5.0)
         patches.append(((pxyz @ rr.T + tt).astype(np.float32), (pn @ rr.T).astype(np.float32)))
     c_xyz = np.concatenate([p[0] for p in patches])[: n_clutter]
     c_nrm = np.concatenate([p[1] for p in patches])[: n_clutter]
 
-    inst = rotation_matrix([0.3, 1.0, 0.2], 1.1)
-    inst_t = np.array([0.0, 0.0, 0.0], np.float32)
-    s_xyz = np.concatenate([xyz @ inst.T + inst_t + rngc.normal(0, 0.001, xyz.shape).astype(np.float32), c_xyz])
-    s_nrm = np.concatenate([nrm @ inst.T, c_nrm])
-    s_tan = np.concatenate([tan @ inst.T, np.zeros_like(c_xyz)])
-    t_gt = np.eye(4, dtype=np.float32); t_gt[:3, :3] = inst; t_gt[:3, 3] = inst_t
+    s_parts_xyz, s_parts_nrm, s_parts_tan, t_gts = [], [], [], []
+    for xyz, nrm, tan, t_off, r_inst in insts:
+        s_parts_xyz.append(xyz @ r_inst.T + t_off
+                           + rngc.normal(0, 0.001, xyz.shape).astype(np.float32))
+        s_parts_nrm.append(nrm @ r_inst.T)
+        s_parts_tan.append(tan @ r_inst.T)
+        tg = np.eye(4, dtype=np.float32)
+        tg[:3, :3] = r_inst
+        tg[:3, 3] = t_off
+        t_gts.append(tg)
+    s_xyz = np.concatenate(s_parts_xyz + [c_xyz])
+    s_nrm = np.concatenate(s_parts_nrm + [c_nrm])
+    s_tan = np.concatenate(s_parts_tan + [np.zeros_like(c_xyz)])
     scene = PointCloud.from_arrays(s_xyz, s_nrm, s_tan)
     tp0 = time.perf_counter()
     prep = prepare_scene(scene, policy)
@@ -149,42 +188,28 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
                   discretization=disc, policy=policy, max_icp_iterations=icp, seed=5)
     ts0 = time.perf_counter()
     if multi:
-        # origins inside the clutter-free clearance ball: verification then
-        # measures self/near occlusion rather than unrelated far fog
-        origins = np.array([[1.8, 0, 0.6], [-1.8, 0, 0.6], [0, 1.8, 0.6], [0, -1.8, 0.6]], np.float32)
+        origins = np.array([[1.8, 0, 0.6], [-1.8, 0, 0.6], [0, 1.8, 0.6],
+                            [0, -1.8, 0.6], [2.6, 2.4, 2.2]], np.float32)
         # annotate cast scores without dropping (threshold choice is
         # scene-dependent; the score itself is the verification evidence)
-        results = find_all_multi([model], scene, raycast_origins=origins if raycast else None,
+        results = find_all_multi(models, scene,
+                                 raycast_origins=origins if raycast else None,
                                  min_cast_score=None, **kwargs)
-        matches = results[0]
     else:
-        matches = find_all(model, scene, prep=prep, **kwargs)
+        results = [find_all(models[0], scene, prep=prep, **kwargs)]
     t_search = time.perf_counter() - ts0
 
-    if matches:
-        # the synthetic box has a {I, Rx(pi), Ry(pi), Rz(pi)} symmetry group:
-        # symmetric poses are geometrically identical matches (pair features
-        # cannot distinguish them — true for the reference as well), so
-        # report the delta against the best symmetry-equivalent ground truth
-        best = (np.inf, np.inf)
-        from triplet_match_tpu.io.synthetic import rotation_matrix
-
-        for axis in [None, [1, 0, 0], [0, 1, 0], [0, 0, 1]]:
-            tg = np.asarray(t_gt).copy()
-            if axis is not None:
-                tg[:3, :3] = tg[:3, :3] @ rotation_matrix(axis, np.pi)
-            dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(tg))
-            dt, dr = float(dt), float(np.degrees(float(dr)))
-            # combined metric: 1 deg of rotation ~ diameter/100 of translation
-            if dt + 0.01 * dr < best[0] + 0.01 * best[1]:
-                best = (dt, dr)
-        _emit(name, scene_points=int(scene.capacity), matches=len(matches),
-              translation_mm=best[0] * 1000, rotation_deg=best[1],
-              cast_score=matches[0].cast_score,
-              compile_s=t_compile, prepare_s=t_prep, search_s=t_search)
-    else:
-        _emit(name, scene_points=int(scene.capacity), matches=0,
-              compile_s=t_compile, prepare_s=t_prep, search_s=t_search)
+    for i, matches in enumerate(results):
+        mname = name if len(results) == 1 else f"{name}_model{chr(65 + i)}"
+        if matches:
+            dt, dr = _sym_delta(matches[0].transform, t_gts[i])
+            _emit(mname, scene_points=int(scene.capacity), matches=len(matches),
+                  translation_mm=dt * 1000, rotation_deg=dr,
+                  cast_score=matches[0].cast_score, mmf=mmf,
+                  compile_s=t_compile, prepare_s=t_prep, search_s=t_search)
+        else:
+            _emit(mname, scene_points=int(scene.capacity), matches=0, mmf=mmf,
+                  compile_s=t_compile, prepare_s=t_prep, search_s=t_search)
 
 
 def main():
@@ -217,15 +242,10 @@ def main():
     if 3 in wanted:
         _match_config("3_rigid_100k", 100_000 - 2400, args.small)
     if 4 in wanted:
-        # heavy clutter contaminates scene curvature neighborhoods, dropping
-        # scene edge recall (~0.6 at these densities; the reference's fixed
-        # curvature_k would see the same), so the edge-corr acceptance gate
-        # needs a lower match factor — the reference demo itself used 0.2
-        # (apps/triplet_match.cpp:25)
-        _match_config("4_icp_500k", 500_000 - 2400, args.small, icp=15, mmf=0.4)
+        _match_config("4_icp_500k", 500_000 - 2400, args.small, icp=15)
     if 5 in wanted:
-        _match_config("5_raycast_1m", 1_000_000 - 2400, args.small, raycast=True,
-                      multi=True, mmf=0.3)
+        _match_config("5_raycast_1m", 1_000_000 - 4800, args.small, raycast=True,
+                      multi=True, two_models=True)
 
 
 if __name__ == "__main__":

@@ -126,3 +126,22 @@ def test_dp_slices_sample_disjoint_chunks(setup):
     n1 = int(np.asarray(fp1).sum())
     n2 = int(np.asarray(fp2).sum())
     assert n2 > n1  # second dp slice contributed additional firsts
+
+
+def test_find_all_with_meshes(setup):
+    """find_all routes rounds through the dp and dp x sp backends."""
+    from triplet_match_tpu.parallel.mesh import make_mesh
+    from triplet_match_tpu.search.driver import find_all
+
+    model, prep, t_gt, mpack = setup
+
+    for mesh in [make_mesh(4), make_mesh_2d(2, 4)]:
+        matches = find_all(
+            model, prep.cloud, dist_thres=3.0, model_match_factor=0.5,
+            sample_params=SAMPLE, discretization=DISC, policy=POLICY,
+            max_icp_iterations=5, seed=13, prep=prep, mesh=mesh,
+        )
+        assert matches, f"no match on mesh {mesh.shape}"
+        dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+        assert float(dt) < 6e-3
+        assert float(np.degrees(float(dr))) < 0.5

@@ -83,3 +83,17 @@ def test_cast_score():
     vis = jnp.asarray(np.array([True, True, False, True]))
     assert float(cast_score(vis, 2)) == pytest.approx(2.0 / 3.0)
     assert float(cast_score(jnp.zeros(4, bool), 2)) == 0.0
+
+
+def test_cast_score_matched_bounded():
+    from triplet_match_tpu.verify.raycast import cast_score_matched
+
+    vis = jnp.asarray([True, True, False, True])
+    # model corrs include duplicates and an occluded point: only visible
+    # matched points count, each once
+    corrs = jnp.asarray([0, 0, 2, 3], jnp.int32)
+    s = float(cast_score_matched(vis, corrs))
+    assert s == pytest.approx(2.0 / 3.0)
+    # ceiling is exactly 1.0 when every visible point matched
+    assert float(cast_score_matched(vis, jnp.asarray([0, 1, 3], jnp.int32))) == 1.0
+    assert float(cast_score_matched(jnp.zeros(4, bool), corrs)) == 0.0

@@ -164,8 +164,14 @@ class Scene:
         sample_params: SampleParams = DEFAULT_SAMPLE_PARAMS,
         max_icp_iterations: int = 10,
         seed: int = 13,
+        mesh=None,
     ) -> list[driver.Match]:
-        """scene::find_all_parallel (include/scene:47-48)."""
+        """scene::find_all_parallel (include/scene:47-48).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — 1-axis for hypothesis
+        data parallelism across chips, 2-axis ("dp", "sp") to additionally
+        shard the scene arrays (see driver.find_all).
+        """
         matches = driver.find_all(
             model.compiled,
             self._cloud,
@@ -178,6 +184,7 @@ class Scene:
             max_icp_iterations=max_icp_iterations,
             seed=seed,
             prep=self._prepare(),
+            mesh=mesh,
         )
         st = driver.LAST_SEARCH_STATS
         self.statistics = Statistics(

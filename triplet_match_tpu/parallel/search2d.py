@@ -89,6 +89,16 @@ class _Samples(NamedTuple):
     tangent: jax.Array
 
 
+def search_round_2d_prep(mesh, model, prep, consumed, fp_mask, key,
+                         dist_thres, model_match_factor, mpack=None, **kw):
+    """ScenePrep-signature adapter matching driver.search_round /
+    parallel.search.search_round_dp, for use as a find_all round backend."""
+    return search_round_2d(
+        mesh, model, prep.cloud, prep.tangent_mask, consumed, fp_mask, key,
+        dist_thres, model_match_factor, mpack, **kw
+    )
+
+
 def search_round_2d(
     mesh: Mesh,
     model: CompiledModel,

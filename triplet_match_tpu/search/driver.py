@@ -481,12 +481,23 @@ def find_all(
     max_icp_iterations: int = 10,
     seed: int = 13,
     prep: ScenePrep | None = None,
+    mesh=None,
 ) -> list[Match]:
     """Find all model instances in the scene.
 
     API analog of ``scene::find_all_parallel``
     (/root/reference/include/scene:47-48).  Deterministic for a fixed seed
     (the reference is clock-seeded).
+
+    ``mesh`` routes each round through the multi-chip shardings: a 1-axis
+    ``jax.sharding.Mesh`` runs hypothesis data parallelism (each chip is
+    its own RANSAC chunk, ``parallel.search.search_round_dp``), a 2-axis
+    ("dp", "sp") mesh additionally shards every scene-length array over the
+    sp axis (``parallel.search2d.search_round_2d``; scene capacity must be
+    divisible by the sp extent, and the scorer runs through the Pallas
+    kernel — set ``policy.pallas_interpret`` off-TPU).  The adaptive phase
+    budget accounts for the dp extent (each round samples
+    ``num_first_samples * dp`` firsts).
 
     Control flow mirrors the reference's two nested loops: the outer
     multi-instance loop (impl/scene.hpp:70-95) runs *phases*; each phase is
@@ -512,9 +523,30 @@ def find_all(
     stats = {"rounds": 0, "phases": 0, "hypotheses_scored": 0, "finalists": 0,
              "accepted": 0}
 
+    dp_size = 1
+    round_base = search_round
+    if mesh is not None:
+        if len(mesh.axis_names) == 2:
+            from triplet_match_tpu.parallel.search2d import SP_AXIS, search_round_2d_prep
+
+            sp_ext = mesh.shape[mesh.axis_names[1]]
+            if prep.cloud.xyz.shape[0] % sp_ext:
+                raise ValueError(
+                    f"scene capacity {prep.cloud.xyz.shape[0]} not divisible by "
+                    f"sp extent {sp_ext}; pad the cloud capacity"
+                )
+            round_base = partial(search_round_2d_prep, mesh)
+        else:
+            from triplet_match_tpu.parallel.search import search_round_dp
+
+            round_base = partial(search_round_dp, mesh)
+        dp_size = mesh.shape[mesh.axis_names[0]]
+
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
+    if mesh is not None and len(mesh.axis_names) == 2:
+        use_pallas = True  # the 2-D round scores through the fused kernel
     mpack = None
     if use_pallas:
         from triplet_match_tpu.search import score_pallas as sp
@@ -523,7 +555,7 @@ def find_all(
 
     round_fn = jax.jit(
         partial(
-            search_round,
+            round_base,
             discretization=discretization,
             sample_params=sample_params,
             policy=policy,
@@ -559,7 +591,7 @@ def find_all(
         outer_bound = adaptive_outer_bound(n_model, n_left, n_scene_edge, policy)
         if outer_bound == 0:
             break  # no eligible first points remain
-        phase_rounds = max(1, -(-outer_bound // policy.num_first_samples))
+        phase_rounds = max(1, -(-outer_bound // (policy.num_first_samples * dp_size)))
         stats["phases"] += 1
         phase_accepted = False
         phase_early_out = False
@@ -629,9 +661,11 @@ def find_all_multi(
     point claimed by one model's match is unavailable to the others — the
     multi-model extension of the masking protocol at impl/scene.hpp:87-93).
     With ``raycast_origins``, each match is raycast-verified
-    (verify/raycast.py): cast_score = matched / visible-from-any-origin, and
-    matches below ``min_cast_score`` are dropped (the reference's disabled
-    OptiX verification, impl/scene.hpp:173-187, made live).
+    (verify/raycast.py): cast_score = matched visible model points /
+    visible-from-any-origin model points (<= 1 by construction, fixing the
+    reference formula's can-exceed-1 wart), and matches below
+    ``min_cast_score`` are dropped (the reference's disabled OptiX
+    verification, impl/scene.hpp:173-187, made live).
 
     Returns one match list per model.
     """
@@ -667,9 +701,9 @@ def find_all_multi(
                     model.cloud.xyz, model.cloud.valid, jnp.asarray(m.transform),
                     prep.cloud.xyz, prep.cloud.valid, pr, dt,
                 )
-                from triplet_match_tpu.verify.raycast import cast_score as _cs
+                from triplet_match_tpu.verify.raycast import cast_score_matched as _cs
 
-                m.cast_score = float(_cs(vis, float(len(m.scene_corrs))))
+                m.cast_score = float(_cs(vis, jnp.asarray(m.model_corrs)))
                 if min_cast_score is None or m.cast_score >= min_cast_score:
                     kept.append(m)
             matches = kept

@@ -110,10 +110,32 @@ def cast_visibility_multi(origins, model_xyz, model_valid, transform,
 
 
 def cast_score(visible: jax.Array, corr_count) -> jax.Array:
-    """matched / possible given a visibility mask (impl/scene.hpp:180-186)."""
+    """matched / possible given a visibility mask (impl/scene.hpp:180-186).
+
+    NOTE: this is the reference's raw formula — the numerator is the scene
+    correspondence count (which can include relaxed-threshold clutter
+    corrs), so the ratio can exceed 1.0.  Production verification uses
+    :func:`cast_score_matched`, whose numerator counts matched VISIBLE
+    model points and is <= 1 by construction.
+    """
     possible = jnp.sum(visible.astype(jnp.int32))
     return jnp.where(
         possible > 0,
         corr_count / jnp.maximum(possible.astype(jnp.float32), 1.0),
         0.0,
     )
+
+
+def cast_score_matched(visible: jax.Array, model_corrs: jax.Array) -> jax.Array:
+    """Fraction of VISIBLE model points that found a correspondence.
+
+    Fixes the reference formula's wart (impl/scene.hpp:180-186): counting
+    matched visible model points makes 1.0 the exact "every visible point
+    matched" ceiling, so ``min_cast_score`` thresholds are meaningful.
+
+    visible: [M] bool; model_corrs: [K] int32 matched model indices.
+    """
+    matched = jnp.zeros(visible.shape[0], bool).at[model_corrs].set(True)
+    num = jnp.sum((matched & visible).astype(jnp.int32)).astype(jnp.float32)
+    possible = jnp.sum(visible.astype(jnp.int32))
+    return jnp.where(possible > 0, num / jnp.maximum(possible.astype(jnp.float32), 1.0), 0.0)
