@@ -154,12 +154,15 @@ def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
 
 
 def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY,
-                  *, grid_threshold: int = 262144) -> ScenePrep:
+                  *, grid_threshold: int = 32768) -> ScenePrep:
     """Per-scene preprocessing (impl/scene.hpp:41-58).
 
     Scenes above ``grid_threshold`` points use the grid-bucketed neighbor
-    pass (O(#edge-candidates * local density)); smaller scenes run the
-    brute-force MXU pass.
+    pass (O(#edge-candidates * local density), exact local f32 distances);
+    smaller scenes run the brute-force MXU pass.  The threshold sits where
+    the brute pass's approximate (bf16) candidate selection starts losing
+    true neighbors in dense unit-scale scenes AND the grid pass is already
+    much faster.
     """
     n = cloud.xyz.shape[0]
     if n <= grid_threshold:
