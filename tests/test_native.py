@@ -78,3 +78,35 @@ def test_pair_pass_matches_model_compile():
     got = np.sort(keys[valid])
     want = np.asarray(m.keys)[: int(m.pair_count)]
     np.testing.assert_array_equal(got, want)
+
+
+def test_grid_knn_matches_brute():
+    from triplet_match_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    r = rng.normal(size=(5000, 3)).astype(np.float32)
+    q = r[:512]
+    k = 8
+    bi, bd2 = native.knn(q, r, k)
+    # cell sized at the brute kth-distance p90: one-ring covers ~90%+
+    cell = float(np.quantile(np.sqrt(bd2[:, -1]), 0.95))
+    gi, gd2 = native.grid_knn(q, r, k, cell)
+    # grid can only miss neighbors, never beat brute
+    assert (np.sort(gd2, 1) >= np.sort(bd2, 1) - 1e-6).all()
+    exact = np.abs(gd2[:, -1] - bd2[:, -1]) < 1e-6
+    assert exact.mean() >= 0.9
+
+
+def test_grid_knn_respects_validity():
+    from triplet_match_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    r = rng.normal(size=(2000, 3)).astype(np.float32)
+    valid = (np.arange(2000) % 4 != 0)
+    gi, gd2 = native.grid_knn(r[:100], r, 4, 0.5, valid=valid)
+    ok = gd2 < 1e30
+    assert valid[gi[ok]].all()

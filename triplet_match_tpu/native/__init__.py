@@ -74,6 +74,12 @@ def _load():
             ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.tm_grid_knn.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.tm_lzf_decompress.restype = ctypes.c_int64
         lib.tm_lzf_decompress.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -201,3 +207,21 @@ def lzf_compress(data: bytes | np.ndarray) -> bytes:
     if got <= 0 and buf.size > 0:
         raise ValueError("LZF compress overflow")
     return out[:got].tobytes()
+
+
+def grid_knn(q: np.ndarray, r: np.ndarray, k: int, cell: float,
+             valid: np.ndarray | None = None):
+    """Grid-accelerated host kNN (one-ring stencil; exact when the true
+    neighbors lie within ``cell``).  Returns (idx [nq,k] int32, d2 [nq,k])."""
+    lib = _load()
+    q = np.ascontiguousarray(q, np.float32)
+    r = np.ascontiguousarray(r, np.float32)
+    v = None if valid is None else np.ascontiguousarray(valid, np.uint8)
+    idx = np.empty((q.shape[0], k), np.int32)
+    d2 = np.empty((q.shape[0], k), np.float32)
+    lib.tm_grid_knn(
+        _ptr(q, ctypes.c_float), q.shape[0], _ptr(r, ctypes.c_float), r.shape[0],
+        None if v is None else _ptr(v, ctypes.c_uint8), k, float(cell),
+        _ptr(idx, ctypes.c_int32), _ptr(d2, ctypes.c_float),
+    )
+    return idx, d2

@@ -210,6 +210,102 @@ int64_t tm_pair_pass(const float* xyz, const float* tangent, const uint8_t* edge
 }
 
 // ---------------------------------------------------------------------------
+// Grid-accelerated kNN — the host-side analog of ops/gridnn.py (and of the
+// reference's kd-tree locality, impl/pointcloud.hpp:138-198).  Points hash
+// into a uniform grid sized by ``cell``; each query scans its 27-cell
+// stencil with a bounded insertion heap.  Exact when the true neighbors lie
+// within one ring (cell >= the k-NN radius of interest); tm_knn (brute)
+// remains the exactness oracle.
+// ---------------------------------------------------------------------------
+
+void tm_grid_knn(const float* q, int64_t nq, const float* r, int64_t nr,
+                 const uint8_t* valid, int k, float cell,
+                 int32_t* out_idx, float* out_d2) {
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < nr; ++i) {
+    if (valid && !valid[i]) continue;
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], r[i * 3 + d]);
+      hi[d] = std::max(hi[d], r[i * 3 + d]);
+    }
+  }
+  if (cell <= 0.f) cell = 1e-6f;
+  int dims[3];
+  for (int d = 0; d < 3; ++d) {
+    float ext = std::max(hi[d] - lo[d], 1e-6f);
+    dims[d] = std::min(std::max(static_cast<int>(std::ceil(ext / cell)), 1), 1024);
+  }
+  float inv_cell[3];
+  for (int d = 0; d < 3; ++d)
+    inv_cell[d] = dims[d] / std::max(hi[d] - lo[d], 1e-6f);
+
+  auto cell_of = [&](const float* p, int* c) {
+    for (int d = 0; d < 3; ++d) {
+      int v = static_cast<int>(std::floor((p[d] - lo[d]) * inv_cell[d]));
+      c[d] = std::min(std::max(v, 0), dims[d] - 1);
+    }
+  };
+
+  // counting-sort points into cells
+  const int64_t ncells = static_cast<int64_t>(dims[0]) * dims[1] * dims[2];
+  std::vector<int32_t> start(ncells + 1, 0);
+  std::vector<int32_t> order(nr);
+  {
+    std::vector<int32_t> cid(nr, -1);
+    for (int64_t i = 0; i < nr; ++i) {
+      if (valid && !valid[i]) continue;
+      int c[3];
+      cell_of(r + i * 3, c);
+      cid[i] = (c[0] * dims[1] + c[1]) * dims[2] + c[2];
+      ++start[cid[i] + 1];
+    }
+    for (int64_t c = 0; c < ncells; ++c) start[c + 1] += start[c];
+    std::vector<int32_t> cursor(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < nr; ++i)
+      if (cid[i] >= 0) order[cursor[cid[i]]++] = static_cast<int32_t>(i);
+  }
+
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t iq = 0; iq < nq; ++iq) {
+    float* d2 = out_d2 + iq * k;
+    int32_t* idx = out_idx + iq * k;
+    for (int j = 0; j < k; ++j) {
+      d2[j] = 3.0e38f;
+      idx[j] = 0;
+    }
+    int qc[3];
+    cell_of(q + iq * 3, qc);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          int cx = qc[0] + dx, cy = qc[1] + dy, cz = qc[2] + dz;
+          if (cx < 0 || cy < 0 || cz < 0 || cx >= dims[0] || cy >= dims[1] ||
+              cz >= dims[2])
+            continue;
+          int64_t c = (static_cast<int64_t>(cx) * dims[1] + cy) * dims[2] + cz;
+          for (int32_t s = start[c]; s < start[c + 1]; ++s) {
+            int32_t p = order[s];
+            float dd = 0.f;
+            for (int d = 0; d < 3; ++d) {
+              float t = q[iq * 3 + d] - r[p * 3 + d];
+              dd += t * t;
+            }
+            if (dd < d2[k - 1]) {  // bounded insertion sort
+              int j = k - 1;
+              while (j > 0 && d2[j - 1] > dd) {
+                d2[j] = d2[j - 1];
+                idx[j] = idx[j - 1];
+                --j;
+              }
+              d2[j] = dd;
+              idx[j] = p;
+            }
+          }
+        }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // LZF (libLZF stream format) — PCD "binary_compressed" payloads.
 //
 // PCL writes binary_compressed bodies as an LZF stream of the field-major
