@@ -1,0 +1,137 @@
+"""Two-phase scorer recall study on TPU hardware.
+
+Sweeps two-phase ranking settings (coarse-model phase-1 on/off, neighborhood
+stride, keep fraction) over N seeds of a dense TOUCHING-clutter scene — the
+hardest discrimination regime (clutter patches may cross/overlap the
+instance) — and reports per-setting recall and pose error.  This is the
+protocol that gated the round-2 default flip (stride 8 / keep 1/16); rerun
+it whenever a ranking default changes.
+
+    python scripts/recall_study.py [--seeds 10] [--points 131072] \
+        [--settings coarse:8:16,exact:8:16]
+
+Each setting is "<coarse|exact>:<stride>:<keep_frac>".  Prints one JSON line
+per setting with found/total and worst-case pose deltas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_scene(n_points, seed):
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.io.synthetic import (
+        make_box_model, make_plane_patch, rotation_matrix,
+    )
+
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    rngc = np.random.default_rng(1000 + seed)
+    r_inst = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
+    t_off = rngc.uniform(-1.5, 1.5, 3).astype(np.float32)
+
+    n_clutter = n_points - xyz.shape[0]
+    patches = []
+    n_per = 2000
+    for i in range(max(n_clutter // n_per, 1)):
+        pxyz, pn, _ = make_plane_patch(n=n_per, size=(1.5, 1.5),
+                                       seed=5000 + 100 * seed + i, border_edges=False)
+        rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
+        tt = rngc.uniform(-5, 5, 3).astype(np.float32)  # no clearance: may touch
+        patches.append(((pxyz @ rr.T + tt).astype(np.float32),
+                        (pn @ rr.T).astype(np.float32)))
+    c_xyz = np.concatenate([p[0] for p in patches])[:n_clutter]
+    c_nrm = np.concatenate([p[1] for p in patches])[:n_clutter]
+
+    s_xyz = np.concatenate([
+        xyz @ r_inst.T + t_off + rngc.normal(0, 0.001, xyz.shape).astype(np.float32),
+        c_xyz,
+    ])
+    s_nrm = np.concatenate([nrm @ r_inst.T, c_nrm])
+    s_tan = np.concatenate([tan @ r_inst.T, np.zeros_like(c_xyz)])
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+    t_gt[:3, 3] = t_off
+    return PointCloud.from_arrays(s_xyz, s_nrm, s_tan), t_gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=10)
+    ap.add_argument("--points", type=int, default=131072)
+    ap.add_argument("--settings", default="coarse:8:16,exact:8:16")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from run_baseline_configs import _sym_delta
+
+    from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.index.model import compile_model
+    from triplet_match_tpu.io.synthetic import make_box_model
+    from triplet_match_tpu.search.driver import find_all, prepare_scene
+
+    disc = DiscretizationParams()
+    sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+    base = SearchPolicy()
+
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, base)
+    jax.block_until_ready(model.keys)
+
+    settings = []
+    for s in args.settings.split(","):
+        kind, stride, keep = s.strip().split(":")
+        settings.append((kind, int(stride), int(keep)))
+
+    scenes = []
+    for seed in range(args.seeds):
+        scene, t_gt = build_scene(args.points, seed)
+        scenes.append((scene, t_gt))
+
+    for kind, stride, keep in settings:
+        policy = dataclasses.replace(
+            base, two_phase_stride=stride, two_phase_keep_frac=keep,
+            two_phase_coarse_model=(kind == "coarse"),
+        )
+        found, dts, drs, secs = 0, [], [], []
+        for seed, (scene, t_gt) in enumerate(scenes):
+            t0 = time.perf_counter()
+            matches = find_all(
+                model, scene, dist_thres=3.0, model_match_factor=0.5,
+                sample_params=sample, discretization=disc, policy=policy,
+                max_icp_iterations=10, seed=5,
+            )
+            secs.append(time.perf_counter() - t0)
+            if matches:
+                dt, dr = _sym_delta(matches[0].transform, t_gt)
+                found += 1
+                dts.append(dt * 1000)
+                drs.append(dr)
+        print(json.dumps({
+            "setting": f"{kind}:{stride}:{keep}",
+            "found": found, "total": args.seeds,
+            "max_translation_mm": round(max(dts), 4) if dts else None,
+            "max_rotation_deg": round(max(drs), 4) if drs else None,
+            "mean_search_s": round(float(np.mean(secs)), 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

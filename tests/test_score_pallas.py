@@ -219,6 +219,59 @@ def test_two_phase_invalid_poses_cannot_evict_valid(setup):
     assert (c[:, :-1] == 0).all()
 
 
+def test_two_phase_coarse_model_keeps_good_poses(setup):
+    """Coarse-MODEL phase 1 (narrow blocks + inflated gate) must still keep
+    the per-group winners and hand them their exact full-pack scores."""
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model, coarse_points=128)
+    assert mpack.md_coarse.shape[1] <= mpack.md_edge.shape[1] + mpack.md_surf.shape[1]
+    assert float(mpack.coarse_slack) > 0.0
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    s_full, _ = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4, interpret=True
+    )
+    s_2p, _ = score_groups_two_phase(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4,
+        coarse_stride=4, keep_frac=2, interpret=True, coarse_model=True,
+    )
+    s_full, s_2p = np.asarray(s_full), np.asarray(s_2p)
+    for g in range(s_full.shape[0]):
+        b = int(np.argmax(s_full[g]))
+        assert s_2p[g, b] == s_full[g, b]
+    assert (s_2p == -1.0).any()
+
+
+def test_coarse_phase_never_pessimistic(setup):
+    """Per pose, the coarse-block count at the slack-inflated gate bounds the
+    full-pack count from above: a pose that scores on the full pack cannot be
+    missed by phase 1 (the no-miss guarantee pack_model documents)."""
+    from triplet_match_tpu.search.score_pallas import score_groups_coarse
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres = 3.0 * float(model.resolution)
+    mpack = pack_model(model, coarse_points=128)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    _, c_full = score_groups_pallas(
+        mpack, groups, rows, thres * thres, mode="count", pose_tile=4, interpret=True
+    )
+    t2c = (thres + float(mpack.coarse_slack)) ** 2
+    c_coarse = score_groups_coarse(
+        mpack, groups, rows, t2c, pose_tile=4, interpret=True
+    )
+    assert (np.asarray(c_coarse) >= np.asarray(c_full).astype(np.float32)).all()
+    # and the coarse counts are not vacuous: junk poses stay near zero
+    hg = ts.shape[1]
+    c = np.asarray(c_coarse)
+    assert c[:, : hg // 2].min() > c[:, hg // 2 :].max()
+
+
 def test_pack_model_caps_big_models(setup):
     """Big models are voxel-downsampled to a coverage-uniform kernel pack."""
     from triplet_match_tpu.search.score_pallas import _coverage_subsample

@@ -134,6 +134,10 @@ class SearchPolicy:
     two_phase_scoring: bool = True
     two_phase_stride: int = 8  # coarse-pass neighborhood subsample stride
     two_phase_keep_frac: int = 16  # rescore top 1/keep_frac poses per group
+    # phase-1 additionally ranks against a ~512-point coarse model subsample
+    # (distance gate inflated by its coverage radius so true correspondences
+    # cannot be missed); survivors are always rescored on the full pack
+    two_phase_coarse_model: bool = True
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

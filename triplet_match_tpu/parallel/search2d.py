@@ -240,6 +240,7 @@ def search_round_2d(
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
+                coarse_model=policy.two_phase_coarse_model,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

@@ -278,6 +278,7 @@ def hypothesize_and_score(
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
+                coarse_model=policy.two_phase_coarse_model,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

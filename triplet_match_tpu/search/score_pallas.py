@@ -67,6 +67,14 @@ class ModelPack(NamedTuple):
     center: jax.Array
     md_edge: jax.Array  # [8, NeP] compact edge-point block (count mode)
     md_surf: jax.Array  # [8, NsP] compact surface-point block (count mode)
+    # coarse 4-D block for the two-phase phase-1 ranker (score_groups_coarse):
+    # rows 0-2 xyz, 3 = kind_off * is_edge (4th coordinate folding the
+    # tangent-kind gate into the distance), 4/5 = |p4|^2 split into a bf16
+    # representable part + residual (full f32 accuracy through a bf16-input
+    # matmul), 6/7 = 1
+    md_coarse: jax.Array  # [8, NcP]
+    kind_off: jax.Array  # scalar: the 4th-coordinate kind offset (power of 2)
+    coarse_slack: jax.Array  # scalar: coverage radius of the coarse block
 
 
 def _coverage_subsample(xyz, valid, cap: int):
@@ -104,7 +112,7 @@ def _coverage_subsample(xyz, valid, cap: int):
     return np.sort(idx[first])
 
 
-def pack_model(model, max_points: int = 4096) -> ModelPack:
+def pack_model(model, max_points: int = 4096, coarse_points: int = 512) -> ModelPack:
     """Stage a CompiledModel's cloud for gather-free scoring.
 
     Host-side (numpy): the edge/surface split requires concrete edge counts
@@ -118,6 +126,16 @@ def pack_model(model, max_points: int = 4096) -> ModelPack:
     driver.finalize_round), so a bounded-N ranker keeps >=1M poses/s at any
     model size.  Kernel-vs-oracle parity holds exactly on the subsampled
     pack (the oracle sees the same points).
+
+    A second, much coarser block (``coarse_points``, split evenly between
+    edge and surface representatives) serves the two-phase scorer's phase-1
+    ranking (score_groups_coarse): per-pose FLOPs scale with the block
+    width, so an ~5-8x narrower model makes the coarse pass that much
+    cheaper.  ``coarse_slack`` records the block's exact per-kind coverage
+    radius (max distance from any pack point to its nearest same-kind coarse
+    representative); phase-1 inflates the distance gate by it so a pose that
+    would score on the full pack cannot miss on the coarse block (optimistic
+    counts, never pessimistic).
     """
     import numpy as np
 
@@ -163,8 +181,7 @@ def pack_model(model, max_points: int = 4096) -> ModelPack:
         axis=0,
     ).astype(np.float32)
 
-    def block(mask):
-        pts = xyz[valid & mask] if mask.shape == valid.shape else xyz[mask]
+    def block(pts):
         npts = max(pts.shape[0], 1)
         bp = _round_up(npts, 128)
         pts = padn(pts.astype(np.float32), _FAR, to=bp)
@@ -172,12 +189,59 @@ def pack_model(model, max_points: int = 4096) -> ModelPack:
         z = np.zeros((bp,), np.float32)
         return np.stack([pts[:, 0], pts[:, 1], pts[:, 2], p2, z, z, z, z], axis=0).astype(np.float32)
 
-    md_edge = block(is_edge)
-    md_surf = block(valid & ~is_edge)
+    edge_pts = xyz[valid & is_edge]
+    surf_pts = xyz[valid & ~is_edge]
+    md_edge = block(edge_pts)
+    md_surf = block(surf_pts)
+
+    def coarse(pts, cap):
+        if pts.shape[0] == 0:
+            return pts, 0.0
+        keep = _coverage_subsample(pts, np.ones(pts.shape[0], bool), cap)
+        reps = pts[keep]
+        # exact coverage radius: chunked min-distance of every block point
+        # to its nearest representative
+        r = 0.0
+        for s in range(0, pts.shape[0], 8192):
+            c = pts[s:s + 8192]
+            d2 = ((c[:, None, :] - reps[None, :, :]) ** 2).sum(-1)
+            r = max(r, float(np.sqrt(d2.min(axis=1).max())))
+        return reps, r
+
+    edge_c, r_e = coarse(edge_pts, coarse_points // 2)
+    surf_c, r_s = coarse(surf_pts, coarse_points // 2)
+    # 4th-coordinate kind offset: same-kind pairs add 0, cross-kind pairs add
+    # off^2 >> any usable distance gate, so a plain 4-D NN hit test IS the
+    # own-kind hit test.  A power of two so bf16 products stay exact; >> the
+    # pack extent so off^2 dominates (thres + slack)^2 for any sane gate.
+    ext = float(np.abs(xyz[valid]).max()) if valid.any() else 1.0
+    off = float(2.0 ** np.ceil(np.log2(max(4.0 * ext, 1e-6))))
+    nc = edge_c.shape[0] + surf_c.shape[0]
+    nc_pad = _round_up(max(nc, 1), 128)
+    c_xyz = np.concatenate([edge_c, surf_c], axis=0).astype(np.float32)
+    c_w = np.concatenate(
+        [np.full(edge_c.shape[0], off, np.float32), np.zeros(surf_c.shape[0], np.float32)]
+    )
+    c_xyz = padn(c_xyz, 0.0, to=nc_pad)
+    c_w = padn(c_w, 0.0, to=nc_pad)
+    mp2 = np.sum(c_xyz * c_xyz, axis=-1) + c_w * c_w
+    mp2[nc:] = 2.0 * float(_BIG)  # padded entries can never register a hit
+    # split |p4|^2 into a bf16-exact part + f32 residual so the coarse
+    # kernel's default-precision (bf16-input) matmul reconstructs it fully
+    import ml_dtypes
+
+    mp2_hi = mp2.astype(np.float32).astype(ml_dtypes.bfloat16).astype(np.float32)
+    mp2_lo = mp2 - mp2_hi
+    one = np.ones((nc_pad,), np.float32)
+    md_coarse = np.stack(
+        [c_xyz[:, 0], c_xyz[:, 1], c_xyz[:, 2], c_w, mp2_hi, mp2_lo, one, one],
+        axis=0,
+    ).astype(np.float32)
 
     return ModelPack(
         jnp.asarray(ch_d), jnp.asarray(ch_w), n_pad, jnp.asarray(center),
         jnp.asarray(md_edge), jnp.asarray(md_surf),
+        jnp.asarray(md_coarse), jnp.float32(off), jnp.float32(max(r_e, r_s)),
     )
 
 
@@ -329,9 +393,17 @@ def score_groups_pallas(
     """
     g, _, k = groups.shape
     hg = poses.shape[1]
-    n = mpack.channels_d.shape[1]
-    ne = mpack.md_edge.shape[1]
-    ns = mpack.md_surf.shape[1]
+    me_blk = mpack.md_edge
+    ms_blk = mpack.md_surf
+    ne = me_blk.shape[1]
+    ns = ms_blk.shape[1]
+    if mode == "count":
+        # full/orientation blocks are never read in count mode: feed narrow
+        # dummies so they cost no VMEM or HBM traffic
+        md_blk = mw_blk = jnp.zeros((8, 128), jnp.float32)
+    else:
+        md_blk, mw_blk = mpack.channels_d, mpack.channels_w
+    n = md_blk.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
 
@@ -375,13 +447,122 @@ def score_groups_pallas(
             jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
         ],
         interpret=interpret,
-    )(params, poses.reshape(g, hg, 16), groups, kind_col, mpack.md_edge,
-      mpack.md_surf, mpack.channels_d, mpack.channels_w)
+    )(params, poses.reshape(g, hg, 16), groups, kind_col, me_blk,
+      ms_blk, md_blk, mw_blk)
     return score.reshape(g, hg), count.reshape(g, hg).astype(jnp.int32)
 
 
+def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
+                   pose_tile: int, mxu_precision):
+    """Batched-pose coarse hit-count ranker.
+
+    One [8, PT*K] x [8, Nc] matmul per pose tile emits the COMPLETE 4-D
+    squared distance (all 8 MXU channels productive: xyz, the kind-offset
+    4th coordinate, |mp4|^2 and |tp4|^2 each split hi+lo for full f32
+    accuracy through bf16 inputs) — no post-matmul adds, no transposes.
+    count(pose) = #scene points whose 4-D distance to the coarse block
+    clears the (slack-inflated) gate; the kind gate rides the 4th coordinate
+    (cross-kind pairs sit off^2 apart), eligibility rides a +BIG on |tp4|^2.
+    """
+    thres2 = params_ref[0, 0]
+    off = params_ref[0, 1]
+
+    sc = scene_ref[0]  # [8, K]
+    px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
+    w = off * sc[3:4, :]  # kind offset: edge points sit off away in dim 4
+    inelig = (1.0 - sc[4:5, :]) * float(_BIG)  # ineligible points can never hit
+    ones = jnp.ones_like(px)
+    w2 = w * w
+
+    blocks = []
+    for p in range(pose_tile):
+        q = lambda i: poses_ref[0, p, i]  # SMEM scalar reads
+        r00, r01, r02 = q(0), q(1), q(2)
+        r10, r11, r12 = q(3), q(4), q(5)
+        r20, r21, r22 = q(6), q(7), q(8)
+        t0, t1, t2 = q(9), q(10), q(11)
+        tpx = r00 * px + r01 * py + r02 * pz + t0  # [1, K]
+        tpy = r10 * px + r11 * py + r12 * pz + t1
+        tpz = r20 * px + r21 * py + r22 * pz + t2
+        tp2 = tpx * tpx + tpy * tpy + tpz * tpz + w2 + inelig
+        hi = tp2.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = tp2 - hi
+        # channel pairing with md_coarse rows [x, y, z, w, mp2_hi, mp2_lo, 1, 1]:
+        # scene ones ride the mp2 rows, scene tp2 splits ride the ones rows
+        blocks.append(jnp.concatenate(
+            [-2.0 * tpx, -2.0 * tpy, -2.0 * tpz, -2.0 * w, ones, ones, hi, lo],
+            axis=0,
+        ))  # [8, K]
+    a = jnp.concatenate(blocks, axis=1)  # [8, PT*K] pose-major
+    d2 = lax.dot_general(
+        a, mc_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=mxu_precision,
+    )  # [PT*K, Nc] — complete 4-D squared distances
+    hit = (d2 <= thres2).astype(jnp.float32)
+    any_hit = jnp.max(hit, axis=1, keepdims=True)  # [PT*K, 1]
+
+    k = px.shape[1]
+    counts = [jnp.sum(any_hit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
+    j = pl.program_id(1)
+    count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision"))
+def score_groups_coarse(
+    mpack: ModelPack,
+    groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
+    poses: jax.Array,  # [G, Hg, 16]
+    dist_thres2,  # scalar — inflate by mpack.coarse_slack for the no-miss bound
+    *,
+    pose_tile: int = 16,
+    interpret: bool = False,
+    mxu_precision: str = "default",
+):
+    """Rank all G*Hg poses against the pack's coarse block.  Returns hit
+    counts [G, Hg] (float32).
+
+    Never pessimistic vs the full pack when ``dist_thres2`` is inflated to
+    (sqrt(thres2_full) + coarse_slack)^2: every same-kind pack point within
+    the full gate has a coarse representative within the inflated gate.  The
+    kind-COMPETITION gate (dk <= do) is intentionally absent here — on a
+    subsample the other-kind min can only grow while the own-kind min grows
+    by <= the coverage radius, so enforcing it could spuriously drop poses.
+    """
+    g, _, k = groups.shape
+    hg = poses.shape[1]
+    nc = mpack.md_coarse.shape[1]
+    if hg % pose_tile:
+        raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
+
+    params = jnp.stack(
+        [jnp.asarray(dist_thres2, jnp.float32), mpack.kind_off,
+         jnp.float32(0.0), jnp.float32(0.0)]
+    ).reshape(1, 4)
+    poses = poses.at[..., 9:12].add(-mpack.center)
+
+    hgt = hg // pose_tile
+    prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
+    kernel = functools.partial(_coarse_kernel, pose_tile=pose_tile, mxu_precision=prec)
+    count = pl.pallas_call(
+        kernel,
+        grid=(g, hgt),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((8, nc), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
+        interpret=interpret,
+    )(params, poses.reshape(g, hg, 16), groups, mpack.md_coarse)
+    return count.reshape(g, hg)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret")
+    jax.jit,
+    static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
+                     "coarse_model"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -395,6 +576,7 @@ def score_groups_two_phase(
     coarse_stride: int = 8,
     keep_frac: int = 16,
     interpret: bool = False,
+    coarse_model: bool = True,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -409,15 +591,27 @@ def score_groups_two_phase(
     to -1 BEFORE the coarse top-k, so they never occupy keep slots that a
     valid pose needs — an invalid pose's transform is arbitrary and can
     coarse-score arbitrarily high.
+
+    ``coarse_model`` additionally sweeps the pack's narrow coarse model
+    blocks in phase 1 (distance gate inflated by their coverage radius so
+    true correspondences cannot be missed) — per-pose coarse FLOPs drop with
+    the block width.  Phase 2 always rescores survivors on the full pack.
     """
     g, hg = poses.shape[:2]
     keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)
     coarse = groups[:, :, ::coarse_stride]
 
-    s1, _ = score_groups_pallas(
-        mpack, coarse, poses, dist_thres2,
-        mode="count", pose_tile=pose_tile, interpret=interpret,
-    )
+    if coarse_model:
+        t2c = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.coarse_slack) ** 2
+        s1 = score_groups_coarse(
+            mpack, coarse, poses, t2c,
+            pose_tile=pose_tile, interpret=interpret,
+        )
+    else:
+        s1, _ = score_groups_pallas(
+            mpack, coarse, poses, dist_thres2,
+            mode="count", pose_tile=pose_tile, interpret=interpret,
+        )
     if ok is not None:
         s1 = jnp.where(ok, s1, -1.0)
     _, kept = jax.lax.top_k(s1, keep)  # [G, keep]
