@@ -69,7 +69,24 @@ def main():
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--settings", default="coarse:8:16,exact:8:16")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run all settings in this process (default: one "
+                         "subprocess per setting — the TPU runtime degrades "
+                         "after a long prior program)")
     args = ap.parse_args()
+
+    if not args.no_isolate and len(args.settings.split(",")) > 1:
+        import subprocess
+
+        for s in args.settings.split(","):
+            cmd = [sys.executable, os.path.abspath(__file__), "--no-isolate",
+                   "--seeds", str(args.seeds), "--points", str(args.points),
+                   "--settings", s.strip()]
+            res = subprocess.run(cmd)
+            if res.returncode != 0:
+                print(json.dumps({"setting": s.strip(), "FAILED": res.returncode}),
+                      flush=True)
+        return
 
     import jax
 

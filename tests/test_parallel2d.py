@@ -128,14 +128,51 @@ def test_dp_slices_sample_disjoint_chunks(setup):
     assert n2 > n1  # second dp slice contributed additional firsts
 
 
+def test_dcn_mesh_finds_instance(setup):
+    """2x2x2 (dcn, dp, sp) mesh: hierarchical finalist join (ICI within the
+    slice, one F-pose hop over DCN) still recovers the instance, and each
+    (dcn, dp) coordinate samples its own RANSAC chunk."""
+    from triplet_match_tpu.parallel.search2d import make_mesh_3d
+
+    model, prep, t_gt, mpack = setup
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh_3d(2, 2, 2)
+    n = prep.cloud.xyz.shape[0]
+    run = jax.jit(
+        partial(
+            search_round_2d, mesh,
+            discretization=DISC, sample_params=SAMPLE, policy=POLICY,
+            max_icp_iterations=5,
+        )
+    )
+    res, consumed, fp = run(
+        model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool),
+        jnp.zeros(n, bool), key, jnp.float32(3.0), jnp.float32(0.5), mpack,
+    )
+    accept = np.asarray(res.accept)
+    assert accept.any()
+    f = int(np.argmax(np.asarray(res.count) * accept))
+    t_inv = np.asarray(invert_rigid(res.transform[f]))
+    dt, dr = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.5
+    # scene arrays shard over sp only (2x): per-device memory halves
+    assert res.new_corr.addressable_shards[0].data.shape[-1] == n // 2
+
+    # 4 chunks (2 dcn x 2 dp) sample more firsts than 2 chunks (1 x 2)
+    _, _, fp2 = _run_2d(model, prep, mpack, key, 2, 2)
+    assert int(np.asarray(fp).sum()) > int(np.asarray(fp2).sum())
+
+
 def test_find_all_with_meshes(setup):
-    """find_all routes rounds through the dp and dp x sp backends."""
+    """find_all routes rounds through the dp, dp x sp, and dcn backends."""
     from triplet_match_tpu.parallel.mesh import make_mesh
+    from triplet_match_tpu.parallel.search2d import make_mesh_3d
     from triplet_match_tpu.search.driver import find_all
 
     model, prep, t_gt, mpack = setup
 
-    for mesh in [make_mesh(4), make_mesh_2d(2, 4)]:
+    for mesh in [make_mesh(4), make_mesh_2d(2, 4), make_mesh_3d(2, 2, 2)]:
         matches = find_all(
             model, prep.cloud, dist_thres=3.0, model_match_factor=0.5,
             sample_params=SAMPLE, discretization=DISC, policy=POLICY,

@@ -1,6 +1,7 @@
-"""2-D mesh search: hypothesis data parallelism x scene-point sharding.
+"""2-D / 3-D mesh search: hypothesis data parallelism x scene sharding.
 
-Extends the 1-D shardings of ``parallel/search.py`` to a ("dp", "sp") mesh:
+Extends the 1-D shardings of ``parallel/search.py`` to a ("dp", "sp") mesh,
+optionally prefixed by a "dcn" multi-slice axis:
 
 * the **dp** axis replays the reference's ``std::async`` chunking
   (impl/scene.hpp:146-166) — each dp slice samples its own RANSAC chunk
@@ -8,7 +9,14 @@ Extends the 1-D shardings of ``parallel/search.py`` to a ("dp", "sp") mesh:
 * the **sp** axis shards every scene-length array (positions, normals,
   tangents, masks) across devices — per-device scene memory drops by the
   sp extent, the "multi-host scenes" story of SURVEY §2/§5.  Within a dp
-  slice, sp shards cooperate on the SAME sample set.
+  slice, sp shards cooperate on the SAME sample set;
+* the optional **dcn** axis models multiple TPU slices joined by
+  data-center network: each slice runs its own (dp x sp) search on extra
+  RANSAC chunks, and the finalist join is HIERARCHICAL — top-F over ICI
+  within the slice first, then one small all_gather of F poses per slice
+  over DCN — so the slow cross-slice hop carries O(F * 16) floats per
+  round, never scene data.  Mesh axis order ("dcn", "dp", "sp") keeps the
+  fast collectives on the minor (intra-slice) axes.
 
 Cooperation without replicating the scene requires every random choice to
 be a pure function of (key, global point index): ``sampling.hash_uniform``
@@ -49,6 +57,7 @@ from triplet_match_tpu.refine.icp import icp_refine
 from triplet_match_tpu.search.driver import RoundResult
 from triplet_match_tpu.search.sampling import hash_uniform
 
+DCN_AXIS = "dcn"
 DP_AXIS = "dp"
 SP_AXIS = "sp"
 
@@ -62,6 +71,21 @@ def make_mesh_2d(dp: int, sp: int) -> Mesh:
     devs = jax.devices()
     assert len(devs) >= dp * sp, f"need {dp * sp} devices, have {len(devs)}"
     return Mesh(np.array(devs[: dp * sp]).reshape(dp, sp), (DP_AXIS, SP_AXIS))
+
+
+def make_mesh_3d(dcn: int, dp: int, sp: int) -> Mesh:
+    """(slices, chips-per-slice-dp, chips-per-slice-sp) mesh.
+
+    On real hardware pass devices so that the LAST two axes stay within a
+    slice (ICI) and the first crosses slices (DCN); with virtual CPU
+    devices the layout is representational.
+    """
+    import numpy as np
+
+    devs = jax.devices()
+    n = dcn * dp * sp
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(dcn, dp, sp), (DCN_AXIS, DP_AXIS, SP_AXIS))
 
 
 def _merge_sp_topk(prio, k: int, *vals):
@@ -127,6 +151,8 @@ def search_round_2d(
     qcap = policy.query_cap
     ks = policy.score_neighbors
     fin = policy.finalists
+    has_dcn = DCN_AXIS in mesh.axis_names
+    dp_ext = mesh.shape[DP_AXIS]
 
     lower = model.diameter * sample_params.min_diameter_factor
     upper = model.diameter * sample_params.max_diameter_factor
@@ -134,6 +160,9 @@ def search_round_2d(
     def per_device(model, mpack, cloud, tangent_mask, consumed, fp_mask, key,
                    dist_thres, model_match_factor):
         dp_i = lax.axis_index(DP_AXIS)
+        if has_dcn:
+            # every (slice, dp) pair is an independent RANSAC chunk
+            dp_i = lax.axis_index(DCN_AXIS) * dp_ext + dp_i
         sp_i = lax.axis_index(SP_AXIS)
         nl = cloud.xyz.shape[0]
         offset = sp_i * nl
@@ -252,7 +281,8 @@ def search_round_2d(
         # total only reduces over dp
         n_hyp = jnp.sum(hyp_ok.astype(jnp.int32))
 
-        # --- 5. finalist join over dp ---
+        # --- 5. finalist join: ICI within the slice, then (optionally) one
+        # small DCN hop carrying F poses per slice ---
         _, best = lax.top_k(scores, fin)
         t_local = ts.reshape(-1, 4, 4)[best]
         s_local = scores[best]
@@ -260,7 +290,13 @@ def search_round_2d(
         s_all = lax.all_gather(s_local, DP_AXIS).reshape(-1)
         _, gbest = lax.top_k(s_all, fin)
         t_best = t_all[gbest]
-        n_hyp_all = lax.psum(n_hyp, DP_AXIS)
+        if has_dcn:
+            t_x = lax.all_gather(t_best, DCN_AXIS).reshape(-1, 4, 4)
+            s_x = lax.all_gather(s_all[gbest], DCN_AXIS).reshape(-1)
+            _, xbest = lax.top_k(s_x, fin)
+            t_best = t_x[xbest]
+        hyp_axes = (DCN_AXIS, DP_AXIS) if has_dcn else DP_AXIS
+        n_hyp_all = lax.psum(n_hyp, hyp_axes)
 
         # --- 6. ICP + greedy acceptance with sp reductions ---
         icp = jax.vmap(
@@ -303,11 +339,11 @@ def search_round_2d(
         # fp marks this shard's sampled firsts (global -> local index)
         f_local_idx = f_gidx - offset
         in_shard = (f_local_idx >= 0) & (f_local_idx < nl) & firsts_valid
-        # every dp slice sampled its own firsts; OR-reduce marks over dp
+        # every (dcn, dp) chunk sampled its own firsts; OR-reduce marks
         fp_marks = jnp.zeros(nl, jnp.int32).at[jnp.clip(f_local_idx, 0, nl - 1)].max(
             in_shard.astype(jnp.int32)
         )
-        fp_next = fp_mask | (lax.psum(fp_marks, DP_AXIS) > 0)
+        fp_next = fp_mask | (lax.psum(fp_marks, hyp_axes) > 0)
 
         result = RoundResult(
             transform=icp.transform,

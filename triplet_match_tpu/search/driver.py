@@ -499,9 +499,11 @@ def find_all(
     ("dp", "sp") mesh additionally shards every scene-length array over the
     sp axis (``parallel.search2d.search_round_2d``; scene capacity must be
     divisible by the sp extent, and the scorer runs through the Pallas
-    kernel — set ``policy.pallas_interpret`` off-TPU).  The adaptive phase
-    budget accounts for the dp extent (each round samples
-    ``num_first_samples * dp`` firsts).
+    kernel — set ``policy.pallas_interpret`` off-TPU), and a 3-axis
+    ("dcn", "dp", "sp") mesh runs one RANSAC chunk per (slice, dp) pair
+    with a hierarchical finalist join (ICI within the slice, one F-pose
+    hop over DCN).  The adaptive phase budget accounts for the total chunk
+    count (each round samples ``num_first_samples * dcn * dp`` firsts).
 
     Control flow mirrors the reference's two nested loops: the outer
     multi-instance loop (impl/scene.hpp:70-95) runs *phases*; each phase is
@@ -530,26 +532,30 @@ def find_all(
     dp_size = 1
     round_base = search_round
     if mesh is not None:
-        if len(mesh.axis_names) == 2:
+        if len(mesh.axis_names) >= 2:
+            # ("dp", "sp") or ("dcn", "dp", "sp"): scene sharded over the
+            # LAST axis; every leading axis is an independent RANSAC chunk
             from triplet_match_tpu.parallel.search2d import SP_AXIS, search_round_2d_prep
 
-            sp_ext = mesh.shape[mesh.axis_names[1]]
+            sp_ext = mesh.shape[mesh.axis_names[-1]]
             if prep.cloud.xyz.shape[0] % sp_ext:
                 raise ValueError(
                     f"scene capacity {prep.cloud.xyz.shape[0]} not divisible by "
                     f"sp extent {sp_ext}; pad the cloud capacity"
                 )
             round_base = partial(search_round_2d_prep, mesh)
+            for ax in mesh.axis_names[:-1]:
+                dp_size *= mesh.shape[ax]
         else:
             from triplet_match_tpu.parallel.search import search_round_dp
 
             round_base = partial(search_round_dp, mesh)
-        dp_size = mesh.shape[mesh.axis_names[0]]
+            dp_size = mesh.shape[mesh.axis_names[0]]
 
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
-    if mesh is not None and len(mesh.axis_names) == 2:
+    if mesh is not None and len(mesh.axis_names) >= 2:
         use_pallas = True  # the 2-D round scores through the fused kernel
     mpack = None
     if use_pallas:
