@@ -87,10 +87,14 @@ def main(model_points: int | None = None):
         rows = poses_to_rows(jnp.asarray(ts))
 
         def run():
-            # the driver's scoring path: coarse pass + full rescore of the
-            # per-group top poses (the batched early-drop)
+            # the driver's scoring path: coarse-model coarse pass + full
+            # rescore of the per-group top poses (the batched early-drop),
+            # at the production policy settings
             return score_groups_two_phase(
-                mpack, groups, rows, thres * thres, mode="count", pose_tile=16
+                mpack, groups, rows, thres * thres, mode="count", pose_tile=16,
+                coarse_stride=policy.two_phase_stride,
+                keep_frac=policy.two_phase_keep_frac,
+                coarse_model=policy.two_phase_coarse_model,
             )
 
     else:

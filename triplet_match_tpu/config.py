@@ -128,12 +128,15 @@ class SearchPolicy:
     # two-phase scoring = the reference's statistical early-drop
     # (impl/scene.hpp:492-506) batched: coarse pass on a strided
     # neighborhood subsample, full rescore of the per-group top poses.
-    # Defaults were validated by a 10-seed dense-fog recall study (round 2):
-    # stride 8 / keep 1/16 matches stride 4 / keep 1/8 exactly (10/10 found,
-    # identical poses) at ~1.4x the throughput.
+    # Defaults were validated by 10-seed touching-fog recall studies
+    # (scripts/recall_study.py): stride 8 / keep 1/32 / coarse-model finds
+    # 10/10 with poses identical to the conservative settings (max 0.32mm /
+    # 0.05deg) and is the fastest end-to-end (7.0s vs 10.6s mean search;
+    # stride 16/32 rank noisier and LOSE end-to-end despite higher kernel
+    # throughput).
     two_phase_scoring: bool = True
     two_phase_stride: int = 8  # coarse-pass neighborhood subsample stride
-    two_phase_keep_frac: int = 16  # rescore top 1/keep_frac poses per group
+    two_phase_keep_frac: int = 32  # rescore top 1/keep_frac poses per group
     # phase-1 additionally ranks against a ~512-point coarse model subsample
     # (distance gate inflated by its coverage radius so true correspondences
     # cannot be missed); survivors are always rescored on the full pack

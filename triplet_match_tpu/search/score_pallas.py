@@ -574,7 +574,7 @@ def score_groups_two_phase(
     mode: str = "count",
     pose_tile: int = 8,
     coarse_stride: int = 8,
-    keep_frac: int = 16,
+    keep_frac: int = 32,
     interpret: bool = False,
     coarse_model: bool = True,
 ):
