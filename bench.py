@@ -82,7 +82,7 @@ def main(model_points: int | None = None):
             pack_groups, pack_model, poses_to_rows, score_groups_two_phase,
         )
 
-        mpack = pack_model(model)
+        mpack = pack_model(model, coarse_points=policy.coarse_model_points)
         groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
         rows = poses_to_rows(jnp.asarray(ts))
 

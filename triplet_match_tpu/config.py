@@ -137,10 +137,14 @@ class SearchPolicy:
     two_phase_scoring: bool = True
     two_phase_stride: int = 8  # coarse-pass neighborhood subsample stride
     two_phase_keep_frac: int = 32  # rescore top 1/keep_frac poses per group
-    # phase-1 additionally ranks against a ~512-point coarse model subsample
-    # (distance gate inflated by its coverage radius so true correspondences
-    # cannot be missed); survivors are always rescored on the full pack
+    # phase-1 additionally ranks against a coarse model subsample (distance
+    # gate inflated by its coverage radius so true correspondences cannot be
+    # missed); survivors are always rescored on the full pack.  256 reps
+    # measure ~10% faster but inflate the gate from 2.6x to 3.5x the
+    # distance threshold (noisier ranking — the stride-16 study showed
+    # ranking noise costs more search rounds than the kernel saves).
     two_phase_coarse_model: bool = True
+    coarse_model_points: int = 512  # coarse block size (pack_model coarse_points)
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

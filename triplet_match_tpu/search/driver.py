@@ -561,7 +561,7 @@ def find_all(
     if use_pallas:
         from triplet_match_tpu.search import score_pallas as sp
 
-        mpack = sp.pack_model(model)  # host compaction; once per model
+        mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points)  # host compaction; once per model
 
     round_fn = jax.jit(
         partial(
