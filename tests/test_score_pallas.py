@@ -266,6 +266,12 @@ def test_coarse_phase_never_pessimistic(setup):
         mpack, groups, rows, t2c, pose_tile=4, interpret=True
     )
     assert (np.asarray(c_coarse) >= np.asarray(c_full).astype(np.float32)).all()
+    # the MXU-reduction variant is bit-identical (it exists as a measured
+    # negative result — see _coarse_kernel docstring)
+    c_mxu = score_groups_coarse(
+        mpack, groups, rows, t2c, pose_tile=4, interpret=True, reduce="mxu"
+    )
+    np.testing.assert_array_equal(np.asarray(c_coarse), np.asarray(c_mxu))
     # and the coarse counts are not vacuous: junk poses stay near zero
     hg = ts.shape[1]
     c = np.asarray(c_coarse)

@@ -453,7 +453,7 @@ def score_groups_pallas(
 
 
 def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
-                   pose_tile: int, mxu_precision):
+                   pose_tile: int, mxu_precision, reduce: str = "max"):
     """Batched-pose coarse hit-count ranker.
 
     One [8, PT*K] x [8, Nc] matmul per pose tile emits the COMPLETE 4-D
@@ -463,6 +463,13 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     count(pose) = #scene points whose 4-D distance to the coarse block
     clears the (slack-inflated) gate; the kind gate rides the 4th coordinate
     (cross-kind pairs sit off^2 apart), eligibility rides a +BIG on |tp4|^2.
+
+    ``reduce``: how the per-point "any rep within gate" reduction runs —
+    "max" (default) sweeps the hit mask on the VPU; "mxu" rides it through
+    a hit x ones matmul clamped at 1 (bit-identical counts).  Measured on
+    v5e: "mxu" is ~45% SLOWER (140.6 vs 97.2 ns/pose) — materializing the
+    hit mask for a second matmul costs more than the fused compare+max
+    epilogue — kept only as the measurement record for ROADMAP 3d.
     """
     thres2 = params_ref[0, 0]
     off = params_ref[0, 1]
@@ -499,7 +506,17 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
         preferred_element_type=jnp.float32, precision=mxu_precision,
     )  # [PT*K, Nc] — complete 4-D squared distances
     hit = (d2 <= thres2).astype(jnp.float32)
-    any_hit = jnp.max(hit, axis=1, keepdims=True)  # [PT*K, 1]
+    if reduce == "mxu":
+        # per-point rep count via the MXU, clamped at 1 = exact any-hit
+        nc = hit.shape[1]
+        ones_col = jnp.ones((nc, 1), jnp.float32)
+        pair_col = lax.dot_general(
+            hit, ones_col, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=mxu_precision,
+        )  # [PT*K, 1]
+        any_hit = jnp.minimum(pair_col, 1.0)
+    else:
+        any_hit = jnp.max(hit, axis=1, keepdims=True)  # [PT*K, 1]
 
     k = px.shape[1]
     counts = [jnp.sum(any_hit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
@@ -507,7 +524,8 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
 
 
-@functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision"))
+@functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
+                                              "reduce"))
 def score_groups_coarse(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
@@ -517,6 +535,7 @@ def score_groups_coarse(
     pose_tile: int = 16,
     interpret: bool = False,
     mxu_precision: str = "default",
+    reduce: str = "max",
 ):
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
@@ -542,7 +561,8 @@ def score_groups_coarse(
 
     hgt = hg // pose_tile
     prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
-    kernel = functools.partial(_coarse_kernel, pose_tile=pose_tile, mxu_precision=prec)
+    kernel = functools.partial(_coarse_kernel, pose_tile=pose_tile, mxu_precision=prec,
+                               reduce=reduce)
     count = pl.pallas_call(
         kernel,
         grid=(g, hgt),
