@@ -299,10 +299,13 @@ def search_round_2d(
         n_hyp_all = lax.psum(n_hyp, hyp_axes)
 
         # --- 6. ICP + greedy acceptance with sp reductions ---
+        # reference-faithful relaxed ICP; the tight polish is gated on
+        # acceptance below (same structure as driver.finalize_round)
         icp = jax.vmap(
             lambda t: icp_refine(
                 model, cloud, tangent_mask, consumed, t, dist_thres,
                 max_icp_iterations,
+                tight_iterations=0,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 point_to_plane=policy.icp_point_to_plane,
@@ -336,6 +339,27 @@ def search_round_2d(
         new_corr = new_ord[inv_order]
 
         consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
+
+        t_fin = icp.transform
+        if max_icp_iterations > 0:
+            from triplet_match_tpu.refine.icp import tight_polish
+
+            def polish(ts):
+                return jax.vmap(
+                    lambda t: tight_polish(
+                        model, cloud, tangent_mask, consumed, t, dist_thres,
+                        weighted_distance=policy.weighted_distance,
+                        negative_scores=policy.negative_scores,
+                        point_to_plane=policy.icp_point_to_plane,
+                        samples_on_all=policy.samples_on_all,
+                        axis_name=SP_AXIS,
+                    )
+                )(ts)
+
+            # accept is replicated (psum'd scores), so every device takes
+            # the same branch and the in-branch sp collectives stay aligned
+            t_fin = lax.cond(accept.any(), polish, lambda ts: ts, t_fin)
+
         # fp marks this shard's sampled firsts (global -> local index)
         f_local_idx = f_gidx - offset
         in_shard = (f_local_idx >= 0) & (f_local_idx < nl) & firsts_valid
@@ -346,7 +370,7 @@ def search_round_2d(
         fp_next = fp_mask | (lax.psum(fp_marks, hyp_axes) > 0)
 
         result = RoundResult(
-            transform=icp.transform,
+            transform=t_fin,
             accept=accept,
             new_corr=new_corr,
             model_idx=icp.corrs.model_idx,

@@ -99,42 +99,78 @@ def icp_refine(
     )
 
     if tight_iterations > 0:
-
-        def tight_body(_, t):
-            # exact (LUT-seeded) correspondences remove the half-voxel
-            # quantization bias of the plain LUT in the final fit
-            corrs = _ff(t, dist_thres, exact=True)
-            w = corrs.valid.astype(jnp.float32)
-            if point_to_plane:
-                # hybrid Gauss-Newton: point-to-plane for surface corrs,
-                # perpendicular-to-tangent for edge corrs — unbiased by the
-                # tangential sliding of sampled surfaces (beats the
-                # reference's point-to-point umeyama under noise)
-                from triplet_match_tpu.core.transforms import (
-                    gauss_newton_pose_step, transform_points,
-                )
-
-                src = transform_points(t, scene.xyz)
-                midx = corrs.model_idx
-                mtan = model.cloud.tangent[midx]
-                is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7
-                m_dir = jnp.where(is_edge[:, None], mtan, model.cloud.normal[midx])
-                m_dir = m_dir / jnp.maximum(
-                    jnp.linalg.norm(m_dir, axis=-1, keepdims=True), 1e-12
-                )
-                upd = gauss_newton_pose_step(
-                    src, model.cloud.xyz[midx], m_dir, is_edge, w
-                )
-                t_new = upd @ t
-            else:
-                t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w,
-                                        axis_name=axis_name)
-            return jnp.where(corrs.count >= 3, t_new, t)
-
-        # Unconditional: the relaxed corr count slightly *prefers* the
-        # clutter-biased pose, so count-gating would reject the better fit.
-        # Degenerate (<3 corr) steps are no-ops inside tight_body.
-        t_fin = lax.fori_loop(0, tight_iterations, tight_body, t_fin)
+        t_fin = tight_polish(
+            model, scene, tangent_mask, consumed, t_fin, dist_thres,
+            tight_iterations,
+            weighted_distance=weighted_distance, negative_scores=negative_scores,
+            point_to_plane=point_to_plane, samples_on_all=samples_on_all,
+            axis_name=axis_name,
+        )
         corrs_fin = _ff(t_fin, relaxed)
 
     return IcpResult(t_fin, corrs_fin, iters)
+
+
+def tight_polish(
+    model: CompiledModel,
+    scene,
+    tangent_mask: jax.Array,
+    consumed: jax.Array,
+    t0: jax.Array,
+    dist_thres,
+    iterations: int = 2,
+    weighted_distance: bool = False,
+    negative_scores: bool = False,
+    point_to_plane: bool = False,
+    samples_on_all: bool = True,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Extra Kabsch steps at the UNRELAXED threshold with exact
+    (LUT-seeded) correspondences — removes the clutter bias the 2x gate
+    admits and the half-voxel LUT quantization from the final pose.
+
+    A deliberate improvement over the reference (whose ICP stops at the
+    relaxed gate): it changes only the reported transform, never which
+    matches are accepted, so the search gates it on acceptance (the no-match
+    confirmation rounds skip it entirely — finalize_round).
+
+    Unconditional per step: the relaxed corr count slightly *prefers* the
+    clutter-biased pose, so count-gating would reject the better fit.
+    Degenerate (<3 corr) steps are no-ops.
+    """
+
+    def _ff(t, thres, exact=False):
+        return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
+                           weighted_distance=weighted_distance, negative_scores=negative_scores,
+                           samples_on_all=samples_on_all, axis_name=axis_name)
+
+    def tight_body(_, t):
+        corrs = _ff(t, dist_thres, exact=True)
+        w = corrs.valid.astype(jnp.float32)
+        if point_to_plane:
+            # hybrid Gauss-Newton: point-to-plane for surface corrs,
+            # perpendicular-to-tangent for edge corrs — unbiased by the
+            # tangential sliding of sampled surfaces (beats the
+            # reference's point-to-point umeyama under noise)
+            from triplet_match_tpu.core.transforms import (
+                gauss_newton_pose_step, transform_points,
+            )
+
+            src = transform_points(t, scene.xyz)
+            midx = corrs.model_idx
+            mtan = model.cloud.tangent[midx]
+            is_edge = jnp.linalg.norm(mtan, axis=-1) > 0.7
+            m_dir = jnp.where(is_edge[:, None], mtan, model.cloud.normal[midx])
+            m_dir = m_dir / jnp.maximum(
+                jnp.linalg.norm(m_dir, axis=-1, keepdims=True), 1e-12
+            )
+            upd = gauss_newton_pose_step(
+                src, model.cloud.xyz[midx], m_dir, is_edge, w
+            )
+            t_new = upd @ t
+        else:
+            t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w,
+                                    axis_name=axis_name)
+        return jnp.where(corrs.count >= 3, t_new, t)
+
+    return lax.fori_loop(0, iterations, tight_body, t0)

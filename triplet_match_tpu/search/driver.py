@@ -334,9 +334,14 @@ def finalize_round(
     devices).  Returns (RoundResult, consumed', fp').
     """
     cloud = prep.cloud
+    # reference-faithful relaxed ICP only; the tight polish runs AFTER (and
+    # gated on) acceptance — it improves the reported pose, never which
+    # matches are accepted, so the no-match confirmation rounds skip its
+    # finish_find passes entirely (3 of the 5 per round at 131k — ROADMAP 3e)
     icp = jax.vmap(
         lambda t: icp_refine(
             model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations,
+            tight_iterations=0,
             weighted_distance=policy.weighted_distance,
             negative_scores=policy.negative_scores,
             point_to_plane=policy.icp_point_to_plane,
@@ -371,6 +376,22 @@ def finalize_round(
 
     consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
     fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
+
+    if max_icp_iterations > 0:
+        from triplet_match_tpu.refine.icp import tight_polish
+
+        def polish(ts):
+            return jax.vmap(
+                lambda t: tight_polish(
+                    model, cloud, prep.tangent_mask, consumed, t, dist_thres,
+                    weighted_distance=policy.weighted_distance,
+                    negative_scores=policy.negative_scores,
+                    point_to_plane=policy.icp_point_to_plane,
+                    samples_on_all=policy.samples_on_all,
+                )
+            )(ts)
+
+        t_fin = jax.lax.cond(accept.any(), polish, lambda ts: ts, t_fin)
 
     result = RoundResult(
         transform=t_fin,
@@ -441,6 +462,10 @@ def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
 
 
 LAST_SEARCH_STATS: dict = {}
+
+# jitted round executables keyed by (mesh-or-"single", config dataclasses) —
+# see find_all; bounded in practice by the handful of configs a process uses
+_ROUND_FN_CACHE: dict = {}
 
 
 def _publish_stats(stats: dict, profiler=None) -> None:
@@ -531,7 +556,9 @@ def find_all(
 
     dp_size = 1
     round_base = search_round
+    round_kind = "single"
     if mesh is not None:
+        round_kind = mesh
         if len(mesh.axis_names) >= 2:
             # ("dp", "sp") or ("dcn", "dp", "sp"): scene sharded over the
             # LAST axis; every leading axis is an independent RANSAC chunk
@@ -563,15 +590,25 @@ def find_all(
 
         mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points)  # host compaction; once per model
 
-    round_fn = jax.jit(
-        partial(
-            round_base,
-            discretization=discretization,
-            sample_params=sample_params,
-            policy=policy,
-            max_icp_iterations=max_icp_iterations,
+    # Cache the jitted round across find_all calls: jax.jit keys on function
+    # identity, and a fresh ``partial`` per search would re-trace the whole
+    # round graph every time (~2s at 131k even with the XLA compile cache
+    # warm).  Repeat searches — multi-scene pipelines, find_all_multi's
+    # per-model loop, the recall studies — hit the same executable instead.
+    cache_key = (round_kind, discretization, sample_params, policy,
+                 max_icp_iterations)
+    round_fn = _ROUND_FN_CACHE.get(cache_key)
+    if round_fn is None:
+        round_fn = jax.jit(
+            partial(
+                round_base,
+                discretization=discretization,
+                sample_params=sample_params,
+                policy=policy,
+                max_icp_iterations=max_icp_iterations,
+            )
         )
-    )
+        _ROUND_FN_CACHE[cache_key] = round_fn
 
     n = prep.cloud.xyz.shape[0]
     consumed = jnp.zeros(n, bool)
