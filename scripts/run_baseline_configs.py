@@ -212,6 +212,75 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
                   compile_s=t_compile, prepare_s=t_prep, search_s=t_search)
 
 
+def config6_two_instances(small):
+    """Extra (beyond BASELINE.json): TWO instances of one model in 131k
+    touching fog — the multi-instance masking protocol
+    (impl/scene.hpp:39-98) at hardware scale."""
+    import time as _t
+
+    import jax
+
+    from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.index.model import compile_model
+    from triplet_match_tpu.io.synthetic import make_box_model, make_plane_patch, rotation_matrix
+    from triplet_match_tpu.search.driver import find_all, prepare_scene
+
+    n_points = 131072 if not small else 16384
+    disc = DiscretizationParams()
+    sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+    policy = SearchPolicy()
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
+
+    rngc = np.random.default_rng(77)
+    insts = []
+    for off in [(-2.2, -1.5, 0.0), (2.0, 1.8, 0.5)]:
+        r = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
+        t = np.array(off, np.float32)
+        tg = np.eye(4, dtype=np.float32)
+        tg[:3, :3] = r
+        tg[:3, 3] = t
+        insts.append((r, t, tg))
+    n_clut = n_points - 2 * xyz.shape[0]
+    patches = []
+    for i in range(max(n_clut // 2000, 1)):
+        pxyz, pn, _ = make_plane_patch(n=2000, size=(1.5, 1.5), seed=900 + i,
+                                       border_edges=False)
+        rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
+        tt = rngc.uniform(-5, 5, 3).astype(np.float32)
+        patches.append(((pxyz @ rr.T + tt).astype(np.float32), (pn @ rr.T).astype(np.float32)))
+    cx = np.concatenate([p[0] for p in patches])[:n_clut]
+    cn = np.concatenate([p[1] for p in patches])[:n_clut]
+    sx = np.concatenate(
+        [xyz @ r.T + t + rngc.normal(0, 0.001, xyz.shape).astype(np.float32)
+         for r, t, _ in insts] + [cx])
+    sn = np.concatenate([nrm @ r.T for r, _, _ in insts] + [cn])
+    st = np.concatenate([tan @ r.T for r, _, _ in insts] + [np.zeros_like(cx)])
+    scene = PointCloud.from_arrays(sx, sn, st)
+    prep = prepare_scene(scene, policy)
+    t0 = time.perf_counter()
+    matches = find_all(model, scene, dist_thres=3.0, model_match_factor=0.5,
+                       sample_params=sample, discretization=disc, policy=policy,
+                       max_icp_iterations=10, seed=5, prep=prep)
+    t_search = time.perf_counter() - t0
+
+    used, deltas = set(), []
+    for m in matches:
+        cands = [(_sym_delta(m.transform, tg), i)
+                 for i, (_, _, tg) in enumerate(insts) if i not in used]
+        if not cands:
+            break
+        (dt, dr), i = min(cands, key=lambda x: x[0][0])
+        used.add(i)
+        deltas.append((dt * 1000, dr))
+    _emit("6_two_instances_131k", scene_points=int(scene.capacity),
+          matches=len(matches),
+          worst_translation_mm=max((d[0] for d in deltas), default=None),
+          worst_rotation_deg=max((d[1] for d in deltas), default=None),
+          mmf=0.5, search_s=t_search)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
@@ -246,6 +315,8 @@ def main():
     if 5 in wanted:
         _match_config("5_raycast_1m", 1_000_000 - 4800, args.small, raycast=True,
                       multi=True, two_models=True)
+    if 6 in wanted:
+        config6_two_instances(args.small)
 
 
 if __name__ == "__main__":
