@@ -65,7 +65,7 @@ def main():
     thres = 3.0 * float(model.resolution)
     t2 = thres * thres
 
-    mpack = sp.pack_model(model)
+    mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points)
     groups = sp.pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx,
                             jnp.ones((G, K), bool))
     rows = sp.poses_to_rows(jnp.asarray(ts))

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_scene(n_points, seed):
     from triplet_match_tpu.core.cloud import PointCloud
     from triplet_match_tpu.io.synthetic import (
-        make_box_model, make_plane_patch, rotation_matrix,
+        fog_patches, make_box_model, rotation_matrix,
     )
 
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
@@ -40,17 +40,7 @@ def build_scene(n_points, seed):
     t_off = rngc.uniform(-1.5, 1.5, 3).astype(np.float32)
 
     n_clutter = n_points - xyz.shape[0]
-    patches = []
-    n_per = 2000
-    for i in range(max(n_clutter // n_per, 1)):
-        pxyz, pn, _ = make_plane_patch(n=n_per, size=(1.5, 1.5),
-                                       seed=5000 + 100 * seed + i, border_edges=False)
-        rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
-        tt = rngc.uniform(-5, 5, 3).astype(np.float32)  # no clearance: may touch
-        patches.append(((pxyz @ rr.T + tt).astype(np.float32),
-                        (pn @ rr.T).astype(np.float32)))
-    c_xyz = np.concatenate([p[0] for p in patches])[:n_clutter]
-    c_nrm = np.concatenate([p[1] for p in patches])[:n_clutter]
+    c_xyz, c_nrm = fog_patches(rngc, n_clutter, seed_base=5000 + 100 * seed)
 
     s_xyz = np.concatenate([
         xyz @ r_inst.T + t_off + rngc.normal(0, 0.001, xyz.shape).astype(np.float32),

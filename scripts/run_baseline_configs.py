@@ -147,23 +147,12 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
 
     # clutter as scattered surface patches (real scans are surfaces, not
     # volumetric fog — uniform volume clutter makes raycast verification
-    # physically meaningless because every ray is fogged out).  Patches are
-    # placed uniformly with NO clearance: they may touch, cross, or overlap
-    # the instances — scoring must discriminate against contact clutter.
+    # physically meaningless because every ray is fogged out); see
+    # io.synthetic.fog_patches for the touching-clutter semantics
     rngc = np.random.default_rng(17)
-    from triplet_match_tpu.io.synthetic import make_plane_patch
+    from triplet_match_tpu.io.synthetic import fog_patches
 
-    patches = []
-    n_per = 2000
-    n_patches = max(n_clutter // n_per, 1)
-    for i in range(n_patches):
-        pxyz, pn, _ = make_plane_patch(n=n_per, size=(1.5, 1.5), seed=100 + i,
-                                       border_edges=False)
-        rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
-        tt = rngc.uniform(-5, 5, 3).astype(np.float32)
-        patches.append(((pxyz @ rr.T + tt).astype(np.float32), (pn @ rr.T).astype(np.float32)))
-    c_xyz = np.concatenate([p[0] for p in patches])[: n_clutter]
-    c_nrm = np.concatenate([p[1] for p in patches])[: n_clutter]
+    c_xyz, c_nrm = fog_patches(rngc, n_clutter, seed_base=100)
 
     s_parts_xyz, s_parts_nrm, s_parts_tan, t_gts = [], [], [], []
     for xyz, nrm, tan, t_off, r_inst in insts:
@@ -216,14 +205,10 @@ def config6_two_instances(small):
     """Extra (beyond BASELINE.json): TWO instances of one model in 131k
     touching fog — the multi-instance masking protocol
     (impl/scene.hpp:39-98) at hardware scale."""
-    import time as _t
-
-    import jax
-
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
     from triplet_match_tpu.core.cloud import PointCloud
     from triplet_match_tpu.index.model import compile_model
-    from triplet_match_tpu.io.synthetic import make_box_model, make_plane_patch, rotation_matrix
+    from triplet_match_tpu.io.synthetic import fog_patches, make_box_model, rotation_matrix
     from triplet_match_tpu.search.driver import find_all, prepare_scene
 
     n_points = 131072 if not small else 16384
@@ -243,15 +228,7 @@ def config6_two_instances(small):
         tg[:3, 3] = t
         insts.append((r, t, tg))
     n_clut = n_points - 2 * xyz.shape[0]
-    patches = []
-    for i in range(max(n_clut // 2000, 1)):
-        pxyz, pn, _ = make_plane_patch(n=2000, size=(1.5, 1.5), seed=900 + i,
-                                       border_edges=False)
-        rr = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
-        tt = rngc.uniform(-5, 5, 3).astype(np.float32)
-        patches.append(((pxyz @ rr.T + tt).astype(np.float32), (pn @ rr.T).astype(np.float32)))
-    cx = np.concatenate([p[0] for p in patches])[:n_clut]
-    cn = np.concatenate([p[1] for p in patches])[:n_clut]
+    cx, cn = fog_patches(rngc, n_clut, seed_base=900)
     sx = np.concatenate(
         [xyz @ r.T + t + rngc.normal(0, 0.001, xyz.shape).astype(np.float32)
          for r, t, _ in insts] + [cx])

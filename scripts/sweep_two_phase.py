@@ -71,7 +71,7 @@ def main():
     consumed = jnp.zeros(prep.cloud.xyz.shape[0], bool)
     thres = 3.0 * float(model.resolution)
 
-    mpack = pack_model(model)
+    mpack = pack_model(model, coarse_points=policy.coarse_model_points)
     groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
     rows = poses_to_rows(jnp.asarray(ts))
 

@@ -113,6 +113,31 @@ def make_plane_patch(n: int = 2000, size=(2.0, 2.0), seed: int = 1, border_edges
     return xyz, normal, tangent
 
 
+def fog_patches(rng, n_clutter: int, seed_base: int, n_per: int = 2000,
+                size=(1.5, 1.5), extent: float = 5.0):
+    """Touching surface clutter: scattered plane patches with NO clearance.
+
+    Real scans are surfaces, not volumetric fog; patches are placed
+    uniformly in a +-extent cube and may touch, cross, or overlap whatever
+    instances the caller embeds — scoring must discriminate against contact
+    clutter.  The shared builder for every full-scale evidence protocol
+    (recall studies, acceptance configs) so their scenes cannot drift.
+
+    Returns (xyz [n_clutter, 3], normals [n_clutter, 3]) — tangent-free.
+    """
+    patches = []
+    for i in range(max(-(-n_clutter // n_per), 1)):
+        pxyz, pn, _ = make_plane_patch(n=n_per, size=size, seed=seed_base + i,
+                                       border_edges=False)
+        rr = rotation_matrix(rng.normal(size=3), rng.uniform(0, np.pi))
+        tt = rng.uniform(-extent, extent, 3).astype(np.float32)
+        patches.append(((pxyz @ rr.T + tt).astype(np.float32),
+                        (pn @ rr.T).astype(np.float32)))
+    cx = np.concatenate([p[0] for p in patches])[:n_clutter]
+    cn = np.concatenate([p[1] for p in patches])[:n_clutter]
+    return cx, cn
+
+
 def make_cylinder(n: int = 3000, radius: float = 0.5, height: float = 2.0, seed: int = 2,
                   rim_edges: bool = True):
     """Cylinder barrel with optional rim edge points (tangent along the rim)."""

@@ -341,24 +341,21 @@ def search_round_2d(
         consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
 
         t_fin = icp.transform
+        corr_midx = icp.corrs.model_idx
+        fin_scores = icp.corrs.score
         if max_icp_iterations > 0:
-            from triplet_match_tpu.refine.icp import tight_polish
-
-            def polish(ts):
-                return jax.vmap(
-                    lambda t: tight_polish(
-                        model, cloud, tangent_mask, consumed, t, dist_thres,
-                        weighted_distance=policy.weighted_distance,
-                        negative_scores=policy.negative_scores,
-                        point_to_plane=policy.icp_point_to_plane,
-                        samples_on_all=policy.samples_on_all,
-                        axis_name=SP_AXIS,
-                    )
-                )(ts)
-
             # accept is replicated (psum'd scores), so every device takes
             # the same branch and the in-branch sp collectives stay aligned
-            t_fin = lax.cond(accept.any(), polish, lambda ts: ts, t_fin)
+            from triplet_match_tpu.search.driver import polish_accepted
+
+            t_fin, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
+                polish_accepted(
+                    model, cloud, tangent_mask, consumed, dist_thres, policy,
+                    t_fin, accept, order, acc_ord, inv_order,
+                    (new_corr, corr_midx, fin_counts, fin_scores, consumed_next),
+                    axis_name=SP_AXIS,
+                )
+            )
 
         # fp marks this shard's sampled firsts (global -> local index)
         f_local_idx = f_gidx - offset
@@ -373,9 +370,9 @@ def search_round_2d(
             transform=t_fin,
             accept=accept,
             new_corr=new_corr,
-            model_idx=icp.corrs.model_idx,
+            model_idx=corr_midx,
             count=fin_counts,
-            score=icp.corrs.score,
+            score=fin_scores,
             hypotheses_scored=n_hyp_all,
         )
         return result, consumed_next, fp_next

@@ -378,20 +378,13 @@ def finalize_round(
     fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
 
     if max_icp_iterations > 0:
-        from triplet_match_tpu.refine.icp import tight_polish
-
-        def polish(ts):
-            return jax.vmap(
-                lambda t: tight_polish(
-                    model, cloud, prep.tangent_mask, consumed, t, dist_thres,
-                    weighted_distance=policy.weighted_distance,
-                    negative_scores=policy.negative_scores,
-                    point_to_plane=policy.icp_point_to_plane,
-                    samples_on_all=policy.samples_on_all,
-                )
-            )(ts)
-
-        t_fin = jax.lax.cond(accept.any(), polish, lambda ts: ts, t_fin)
+        t_fin, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
+            polish_accepted(
+                model, cloud, prep.tangent_mask, consumed, dist_thres, policy,
+                t_fin, accept, order, acc_ord, inv_order,
+                (new_corr, corr_midx, fin_counts, fin_scores, consumed_next),
+            )
+        )
 
     result = RoundResult(
         transform=t_fin,
@@ -403,6 +396,66 @@ def finalize_round(
         hypotheses_scored=n_hyp,
     )
     return result, consumed_next, fp_next
+
+
+def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
+                    t_fin, accept, order, acc_ord, inv_order, unpolished,
+                    axis_name: str | None = None):
+    """Acceptance-gated tight polish with self-consistent reporting.
+
+    When any finalist was accepted, tight-polish all finalist poses, then
+    RE-DERIVE every reported field at the polished poses — dense
+    correspondences (relaxed gate), counts, signed scores, the greedy
+    point-claim (same order, FROZEN accept decisions), and the consumed
+    mask — so ``Match.transform`` and its corrs/score describe the same
+    pose.  The acceptance *decision* stays at the un-polished relaxed-ICP
+    pose (the reference's semantics, impl/scene.hpp:193-237); no-accept
+    confirmation rounds skip everything here (lax.cond).
+
+    ``unpolished`` = (new_corr, model_idx, counts, scores, consumed_next)
+    from the acceptance pass, returned untouched on the skip path.
+    """
+    from triplet_match_tpu.refine.icp import tight_polish
+    from triplet_match_tpu.search.score import finish_find
+
+    relaxed = 2.0 * dist_thres  # icp_'s reporting gate (impl/scene.hpp:373)
+
+    def polish_branch(ts):
+        t_pol = jax.vmap(
+            lambda t: tight_polish(
+                model, cloud, tangent_mask, consumed, t, dist_thres,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
+                point_to_plane=policy.icp_point_to_plane,
+                samples_on_all=policy.samples_on_all,
+                axis_name=axis_name,
+            )
+        )(ts)
+        corrs = jax.vmap(
+            lambda t: finish_find(
+                model, cloud, tangent_mask, consumed, t, relaxed,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
+                samples_on_all=policy.samples_on_all,
+                axis_name=axis_name,
+            )
+        )(t_pol)
+
+        def claim(used, args):
+            f, ok = args
+            cv = corrs.valid[f]
+            new = cv & ~used
+            used = jnp.where(ok, used | cv, used)
+            return used, new
+
+        _, new_ord = jax.lax.scan(claim, consumed, (order, acc_ord))
+        new_c = new_ord[inv_order]
+        consumed2 = consumed | jnp.any(new_c & accept[:, None], axis=0)
+        return t_pol, new_c, corrs.model_idx, corrs.count, corrs.score, consumed2
+
+    return jax.lax.cond(
+        accept.any(), polish_branch, lambda ts: (ts,) + unpolished, t_fin
+    )
 
 
 def search_round(
