@@ -45,6 +45,11 @@ from triplet_match_tpu.ops.curvature import principal_curvatures
 
 _INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
+# voxel-count threshold above which the LUT builds by jump-flood (ops/jfa.py)
+# instead of exact brute 1-NN over all voxel centers; ~2M voxels is where
+# the O(V * N) brute term starts dominating model compilation
+_LUT_JFA_THRESHOLD = 2_000_000
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -231,17 +236,26 @@ def _build(
 
     # --- voxel LUT: nearest model point per voxel center (impl/model.hpp:81-94)
     ex, ey, ez = extents
-    inv = jnp.linalg.inv(to_voxel)
-    ii, jj, kk = jnp.meshgrid(
-        jnp.arange(ex, dtype=jnp.float32),
-        jnp.arange(ey, dtype=jnp.float32),
-        jnp.arange(ez, dtype=jnp.float32),
-        indexing="ij",
-    )
-    centers = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
-    centers = centers @ inv[:3, :3].T + inv[:3, 3]
-    lut_idx, _ = knn_ops.nn1(centers, cloud.xyz, cloud.valid)
-    lut = lut_idx.reshape(ex, ey, ez)
+    if ex * ey * ez > _LUT_JFA_THRESHOLD:
+        # big grids (dense models): jump-flood propagation — O(V log V)
+        # dense shifts, no O(V * N) term (ops/jfa.py; almost-exact, see its
+        # module docstring and the parity test)
+        from triplet_match_tpu.ops.jfa import nearest_point_volume
+
+        lut = nearest_point_volume(cloud.xyz, cloud.valid, to_voxel,
+                                   extents=extents)
+    else:
+        inv = jnp.linalg.inv(to_voxel)
+        ii, jj, kk = jnp.meshgrid(
+            jnp.arange(ex, dtype=jnp.float32),
+            jnp.arange(ey, dtype=jnp.float32),
+            jnp.arange(ez, dtype=jnp.float32),
+            indexing="ij",
+        )
+        centers = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+        centers = centers @ inv[:3, :3].T + inv[:3, 3]
+        lut_idx, _ = knn_ops.nn1(centers, cloud.xyz, cloud.valid)
+        lut = lut_idx.reshape(ex, ey, ez)
 
     # --- pair passes over the compacted edge subset (impl/model.hpp:100-149)
     exyz = cloud.xyz[edge_idx]

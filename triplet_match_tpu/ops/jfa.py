@@ -1,0 +1,145 @@
+"""Jump-flood nearest-point volumes (the big-model voxel-LUT builder).
+
+The reference builds its dense voxel LUT with one kd-tree NN query per
+voxel (/root/reference/include/impl/model.hpp:81-94) — O(V log N) on a
+CPU.  The TPU-native brute force (ops.knn.nn1 over all voxel centers) is
+O(V * N) on the MXU: exact, but ~25s for a 20k-point model whose grid has
+~20M voxels.  The Jump Flood Algorithm computes the same nearest-seed
+volume with dense SHIFTED-array propagation — no per-point term:
+
+  * seed: scatter each point's (position, index) into its containing
+    voxel (segment_min picks the point nearest the voxel center when
+    several share one);
+  * propagate: for step s = 2^k ... 1, every voxel adopts the best
+    candidate among its 26 neighbors at offset s.  Candidates carry their
+    seed COORDINATES as three volumes, so distances are plain arithmetic
+    against the voxel-center volumes; the neighbor shift is one
+    ``jnp.roll`` with wrapped-in cells masked invalid by iota range
+    checks.  The whole propagation is a single ``lax.fori_loop`` body
+    (graph stays ~100 ops — an unrolled version compiles pathologically
+    on XLA:CPU), executed steps x 26 times;
+  * one extra s=1 round (the standard "JFA+1" refinement).
+
+Cost is memory-bound (sweeps over five volumes per offset) and
+independent of the point count.  Accuracy (measured on the box-model
+parity test): ~97% of voxels return the exact nearest point; the rest —
+seed collisions (one seed per voxel survives) and flood-boundary cases —
+return a point at most ~0.4 voxel DIAGONALS farther than the true NN.
+That sits inside the LUT's own quantization class: the reference LUT
+answers "nearest point to the containing voxel's center" for queries up
+to half a voxel away from that center (impl/model.hpp:180-192), and
+``voxel_query_exact`` re-ranks true distances among neighboring cells
+anyway.  compile_model uses JFA above a voxel-count threshold and the
+exact brute path below it; the parity test forces both on one model and
+asserts the distance-excess bound.
+
+Seed indices pack into 20 bits: point clouds above 2^20 points are not
+supported by this path (far beyond any model the pair table accepts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_FAR = 1.0e6
+_BIG = 3.0e37
+
+
+@partial(jax.jit, static_argnames=("extents",))
+def nearest_point_volume(
+    points: jax.Array,  # [N, 3] world positions (N <= 2^20)
+    valid: jax.Array,  # [N] bool
+    to_voxel: jax.Array,  # [4, 4] world->voxel affine
+    *,
+    extents: tuple[int, int, int],
+) -> jax.Array:
+    """[ex, ey, ez] int32 — (almost-exact) nearest valid point per voxel."""
+    ex, ey, ez = extents
+    nvox = ex * ey * ez
+    n = points.shape[0]
+    if n > (1 << 20):
+        raise ValueError("jump-flood LUT supports up to 2^20 points")
+
+    # voxel centers in world coordinates (inverse affine of integer coords)
+    inv = jnp.linalg.inv(to_voxel)
+    ci = jnp.arange(ex, dtype=jnp.float32)[:, None, None]
+    cj = jnp.arange(ey, dtype=jnp.float32)[None, :, None]
+    ck = jnp.arange(ez, dtype=jnp.float32)[None, None, :]
+    cx = inv[0, 0] * ci + inv[0, 1] * cj + inv[0, 2] * ck + inv[0, 3]
+    cy = inv[1, 0] * ci + inv[1, 1] * cj + inv[1, 2] * ck + inv[1, 3]
+    cz = inv[2, 0] * ci + inv[2, 1] * cj + inv[2, 2] * ck + inv[2, 3]
+
+    # --- seed: per containing voxel, the point nearest its center ---
+    pos = jnp.where(valid[:, None], points, _FAR)
+    v = pos @ to_voxel[:3, :3].T + to_voxel[:3, 3]
+    ijk = jnp.clip(jnp.floor(v).astype(jnp.int32),
+                   jnp.zeros(3, jnp.int32),
+                   jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.int32))
+    vid = (ijk[:, 0] * ey + ijk[:, 1]) * ez + ijk[:, 2]
+    vid = jnp.where(valid, vid, nvox)  # invalid points into a spare segment
+    # pack (quantized center distance, index) so segment_min tie-breaks by
+    # distance first; the quantization only picks WHICH in-voxel point
+    # seeds (propagation uses real coordinates)
+    flat = lambda a: a.reshape(-1)[jnp.clip(vid, 0, nvox - 1)]
+    centers_at = jnp.stack([flat(cx), flat(cy), flat(cz)], axis=-1)
+    d2 = jnp.sum(jnp.square(pos - centers_at), axis=-1)
+    voxel_diag2 = jnp.sum(jnp.square(jnp.diag(inv[:3, :3]))) + 1e-12
+    q = jnp.clip(d2 / voxel_diag2 * 1365.0, 0.0, 4095.0).astype(jnp.uint32)
+    key = (q << 20) | jnp.arange(n, dtype=jnp.uint32)
+    seed_key = jax.ops.segment_min(key, vid, num_segments=nvox + 1,
+                                   indices_are_sorted=False)[:nvox]
+    seeded = seed_key != jnp.uint32(0xFFFFFFFF)
+    seed_idx = jnp.where(
+        seeded, (seed_key & jnp.uint32(0xFFFFF)).astype(jnp.int32), -1)
+    safe = jnp.clip(seed_idx, 0, n - 1)
+    px = jnp.where(seeded, pos[safe, 0], _FAR).reshape(ex, ey, ez)
+    py = jnp.where(seeded, pos[safe, 1], _FAR).reshape(ex, ey, ez)
+    pz = jnp.where(seeded, pos[safe, 2], _FAR).reshape(ex, ey, ez)
+    pidx = seed_idx.reshape(ex, ey, ez)
+    pd = (jnp.square(px - cx) + jnp.square(py - cy) + jnp.square(pz - cz))
+
+    # --- propagate: halving steps + one extra unit round (JFA+1) ---
+    n_halving = max(int(np.ceil(np.log2(max(ex, ey, ez, 2)))), 1)
+    steps = [1 << (n_halving - 1 - k) for k in range(n_halving)] + [1]
+    steps_arr = jnp.asarray(steps, jnp.int32)
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1) if (dx, dy, dz) != (0, 0, 0)],
+        jnp.int32,
+    )  # [26, 3]
+
+    ii = jnp.arange(ex, dtype=jnp.int32)[:, None, None]
+    jj = jnp.arange(ey, dtype=jnp.int32)[None, :, None]
+    kk = jnp.arange(ez, dtype=jnp.int32)[None, None, :]
+
+    def body(t, state):
+        qx, qy, qz, qi, qd = state
+        s = steps_arr[t // 26]
+        d = offs[t % 26] * s
+        dx, dy, dz = d[0], d[1], d[2]
+        roll = lambda a: jnp.roll(a, shift=(dx, dy, dz), axis=(0, 1, 2))
+        # wrapped-in cells came from the far side of the volume: invalid
+        inb = (
+            ((ii - dx >= 0) & (ii - dx < ex))
+            & ((jj - dy >= 0) & (jj - dy < ey))
+            & ((kk - dz >= 0) & (kk - dz < ez))
+        )
+        nx, ny, nz, ni = roll(qx), roll(qy), roll(qz), roll(qi)
+        nd = (jnp.square(nx - cx) + jnp.square(ny - cy) + jnp.square(nz - cz))
+        nd = jnp.where(inb, nd, _BIG)
+        take = nd < qd
+        return (
+            jnp.where(take, nx, qx),
+            jnp.where(take, ny, qy),
+            jnp.where(take, nz, qz),
+            jnp.where(take, ni, qi),
+            jnp.where(take, nd, qd),
+        )
+
+    state = lax.fori_loop(0, len(steps) * 26, body, (px, py, pz, pidx, pd))
+    return state[3]
