@@ -95,6 +95,7 @@ def main(model_points: int | None = None):
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 coarse_model=policy.two_phase_coarse_model,
+                fine_stride=policy.two_phase_fine_stride,
             )
 
     else:

@@ -104,18 +104,21 @@ def main():
 
     settings = []
     for s in args.settings.split(","):
-        kind, stride, keep = s.strip().split(":")
-        settings.append((kind, int(stride), int(keep)))
+        parts = s.strip().split(":")
+        kind, stride, keep = parts[0], int(parts[1]), int(parts[2])
+        fine = int(parts[3]) if len(parts) > 3 else 1
+        settings.append((kind, stride, keep, fine))
 
     scenes = []
     for seed in range(args.seeds):
         scene, t_gt = build_scene(args.points, seed)
         scenes.append((scene, t_gt))
 
-    for kind, stride, keep in settings:
+    for kind, stride, keep, fine in settings:
         policy = dataclasses.replace(
             base, two_phase_stride=stride, two_phase_keep_frac=keep,
             two_phase_coarse_model=(kind == "coarse"),
+            two_phase_fine_stride=fine,
         )
         found, dts, drs, secs = 0, [], [], []
         for seed, (scene, t_gt) in enumerate(scenes):
@@ -132,7 +135,7 @@ def main():
                 dts.append(dt * 1000)
                 drs.append(dr)
         print(json.dumps({
-            "setting": f"{kind}:{stride}:{keep}",
+            "setting": f"{kind}:{stride}:{keep}:{fine}",
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,

@@ -28,7 +28,7 @@ def main():
         "--settings",
         default="exact:8:16:16,coarse:8:16:16,coarse:8:16:32,coarse:8:32:16,"
                 "coarse:16:16:16,coarse:16:32:32",
-        help="comma list of <coarse|exact>:<stride>:<keep_frac>:<pose_tile>",
+        help="comma list of <coarse|exact>:<stride>:<keep_frac>:<pose_tile>[:<fine_stride>]",
     )
     args = ap.parse_args()
 
@@ -76,14 +76,15 @@ def main():
     rows = poses_to_rows(jnp.asarray(ts))
 
     for s in args.settings.split(","):
-        kind, stride, keep, pt = s.strip().split(":")
-        stride, keep, pt = int(stride), int(keep), int(pt)
+        parts = s.strip().split(":")
+        kind, stride, keep, pt = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+        fine = int(parts[4]) if len(parts) > 4 else 1
 
         def run():
             return score_groups_two_phase(
                 mpack, groups, rows, thres * thres, mode="count",
                 pose_tile=pt, coarse_stride=stride, keep_frac=keep,
-                coarse_model=(kind == "coarse"),
+                coarse_model=(kind == "coarse"), fine_stride=fine,
             )
 
         out = run()

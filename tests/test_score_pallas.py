@@ -246,6 +246,33 @@ def test_two_phase_coarse_model_keeps_good_poses(setup):
     assert (s_2p == -1.0).any()
 
 
+def test_two_phase_fine_stride_keeps_winner(setup):
+    """fine_stride > 1 rescores survivors on a subsampled neighborhood:
+    phase-1 survival is unchanged, so the full-score winner still gets a
+    (strided-count) score instead of -1, at roughly count/stride."""
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    s_full, _ = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4, interpret=True
+    )
+    s_fs, c_fs = score_groups_two_phase(
+        mpack, groups, rows, thres2, mode="count", pose_tile=4,
+        coarse_stride=4, keep_frac=2, interpret=True, fine_stride=2,
+    )
+    s_full, s_fs = np.asarray(s_full), np.asarray(s_fs)
+    for g in range(s_full.shape[0]):
+        b = int(np.argmax(s_full[g]))
+        assert s_fs[g, b] >= 0.0  # survived and rescored
+        # strided counts are about count/stride (sampling the same ball)
+        assert s_fs[g, b] <= s_full[g, b]
+
+
 def test_coarse_phase_never_pessimistic(setup):
     """Per pose, the coarse-block count at the slack-inflated gate bounds the
     full-pack count from above: a pose that scores on the full pack cannot be

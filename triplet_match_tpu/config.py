@@ -137,6 +137,12 @@ class SearchPolicy:
     two_phase_scoring: bool = True
     two_phase_stride: int = 8  # coarse-pass neighborhood subsample stride
     two_phase_keep_frac: int = 32  # rescore top 1/keep_frac poses per group
+    # phase-2 neighborhood stride: > 1 rescores survivors on a subsampled
+    # neighborhood too (ranking only — finalists get true finish_find
+    # scores).  Default 4 cleared by recall studies: 10/10 at 131k with
+    # poses identical to stride 1 (max 0.37mm/0.04deg), end-to-end search
+    # 4.18s vs 5.48s mean, kernel 8.4M vs 6.2M poses/s.
+    two_phase_fine_stride: int = 4
     # phase-1 additionally ranks against a coarse model subsample (distance
     # gate inflated by its coverage radius so true correspondences cannot be
     # missed); survivors are always rescored on the full pack.  256 reps

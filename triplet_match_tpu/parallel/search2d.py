@@ -270,6 +270,7 @@ def search_round_2d(
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
                 coarse_model=policy.two_phase_coarse_model,
+                fine_stride=policy.two_phase_fine_stride,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

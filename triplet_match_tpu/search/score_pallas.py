@@ -582,7 +582,7 @@ def score_groups_coarse(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
-                     "coarse_model"),
+                     "coarse_model", "fine_stride"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -597,6 +597,7 @@ def score_groups_two_phase(
     keep_frac: int = 32,
     interpret: bool = False,
     coarse_model: bool = True,
+    fine_stride: int = 1,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -616,6 +617,11 @@ def score_groups_two_phase(
     blocks in phase 1 (distance gate inflated by their coverage radius so
     true correspondences cannot be missed) — per-pose coarse FLOPs drop with
     the block width.  Phase 2 always rescores survivors on the full pack.
+
+    ``fine_stride`` subsamples the phase-2 neighborhood as well (> 1 makes
+    the returned scores a strided-count RANKING rather than full-K counts;
+    fine in the search driver where finalists get true finish_find scores
+    anyway, but callers that read the counts directly should keep 1).
     """
     g, hg = poses.shape[:2]
     keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)
@@ -637,7 +643,8 @@ def score_groups_two_phase(
     _, kept = jax.lax.top_k(s1, keep)  # [G, keep]
     poses_kept = jnp.take_along_axis(poses, kept[..., None], axis=1)  # [G, keep, 16]
     s2, c2 = score_groups_pallas(
-        mpack, groups, poses_kept, dist_thres2,
+        mpack, groups if fine_stride == 1 else groups[:, :, ::fine_stride],
+        poses_kept, dist_thres2,
         mode=mode, pose_tile=pose_tile, interpret=interpret,
     )
     out = jnp.full((g, hg), -1.0, jnp.float32)
