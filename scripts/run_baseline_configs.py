@@ -112,7 +112,9 @@ def _sym_delta(transform, t_gt):
 
 
 def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
-                  mmf=0.5, two_models=False):
+                  mmf=0.5, two_models=False, policy_overrides=None):
+    import dataclasses
+
     import jax
 
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
@@ -126,6 +128,8 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
     disc = DiscretizationParams()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
     policy = SearchPolicy()
+    if policy_overrides:
+        policy = dataclasses.replace(policy, **policy_overrides)
 
     # model A always; model B (a differently-proportioned box) for the
     # genuine multi-model config
@@ -262,6 +266,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--fine-stride", type=int, default=None,
+                    help="override policy.two_phase_fine_stride (diagnostics)")
     ap.add_argument("--no-isolate", action="store_true",
                     help="run all configs in this process (default: one subprocess per config — the TPU runtime degrades after a large program)")
     args = ap.parse_args()
@@ -273,6 +279,8 @@ def main():
         for c in wanted:
             cmd = [sys.executable, os.path.abspath(__file__), "--configs", str(c),
                    "--no-isolate"] + (["--small"] if args.small else [])
+            if args.fine_stride is not None:
+                cmd += ["--fine-stride", str(args.fine_stride)]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 _emit(f"{c}_FAILED", returncode=res.returncode)
@@ -280,18 +288,24 @@ def main():
 
     _setup_jax()
     wanted = set(wanted)
+    overrides = (
+        {"two_phase_fine_stride": args.fine_stride}
+        if args.fine_stride is not None else None
+    )
 
     if 1 in wanted:
         config1_plane(args.small)
     if 2 in wanted:
         config2_cylinder(args.small)
     if 3 in wanted:
-        _match_config("3_rigid_100k", 100_000 - 2400, args.small)
+        _match_config("3_rigid_100k", 100_000 - 2400, args.small,
+                      policy_overrides=overrides)
     if 4 in wanted:
-        _match_config("4_icp_500k", 500_000 - 2400, args.small, icp=15)
+        _match_config("4_icp_500k", 500_000 - 2400, args.small, icp=15,
+                      policy_overrides=overrides)
     if 5 in wanted:
         _match_config("5_raycast_1m", 1_000_000 - 4800, args.small, raycast=True,
-                      multi=True, two_models=True)
+                      multi=True, two_models=True, policy_overrides=overrides)
     if 6 in wanted:
         config6_two_instances(args.small)
 
