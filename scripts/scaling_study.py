@@ -62,6 +62,10 @@ def run_one(n_pts: int):
         t_search = time.perf_counter() - t0
         dt, dr = _sym_delta(m[0].transform, t_gt) if m else (None, None)
         rows.append((t_prep, t_search, len(m), dt, dr))
+    # no-match runs leave dt/dr as None — emit found=0 rows with null deltas
+    # instead of letting max() raise and mask the result as a script failure
+    dts = [r[3] for r in rows if r[3] is not None]
+    drs = [r[4] for r in rows if r[4] is not None]
     print(json.dumps({
         "scene_points": n_pts,
         "prepare_s_first": round(rows[0][0], 2),
@@ -69,8 +73,8 @@ def run_one(n_pts: int):
         "search_s_first": round(rows[0][1], 2),
         "search_s_steady": round(rows[1][1], 2),
         "found": sum(r[2] for r in rows),
-        "worst_translation_mm": round(max(r[3] for r in rows) * 1000, 3),
-        "worst_rotation_deg": round(max(r[4] for r in rows), 4),
+        "worst_translation_mm": round(max(dts) * 1000, 3) if dts else None,
+        "worst_rotation_deg": round(max(drs), 4) if drs else None,
     }), flush=True)
 
 

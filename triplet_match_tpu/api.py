@@ -165,12 +165,17 @@ class Scene:
         max_icp_iterations: int = 10,
         seed: int = 13,
         mesh=None,
+        progress=None,
     ) -> list[driver.Match]:
         """scene::find_all_parallel (include/scene:47-48).
 
         ``mesh``: optional ``jax.sharding.Mesh`` — 1-axis for hypothesis
         data parallelism across chips, 2-axis ("dp", "sp") to additionally
         shard the scene arrays (see driver.find_all).
+
+        ``progress``: optional per-round callback (fraction of the current
+        phase completed — see driver.find_all); pass
+        ``utils.progress.ProgressBar(...).poll`` for a live terminal bar.
         """
         matches = driver.find_all(
             model.compiled,
@@ -185,6 +190,7 @@ class Scene:
             seed=seed,
             prep=self._prepare(),
             mesh=mesh,
+            progress=progress,
         )
         st = driver.LAST_SEARCH_STATS
         self.statistics = Statistics(

@@ -129,6 +129,7 @@ def main(argv=None) -> int:
             sample_params=sample,
             max_icp_iterations=args.max_icp,
             seed=args.seed,
+            progress=bar.poll if bar else None,
         )
     if args.profile_dir:
         log(f"device trace written to {args.profile_dir}")

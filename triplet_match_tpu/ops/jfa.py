@@ -89,7 +89,10 @@ def nearest_point_volume(
     centers_at = jnp.stack([flat(cx), flat(cy), flat(cz)], axis=-1)
     d2 = jnp.sum(jnp.square(pos - centers_at), axis=-1)
     voxel_diag2 = jnp.sum(jnp.square(jnp.diag(inv[:3, :3]))) + 1e-12
-    q = jnp.clip(d2 / voxel_diag2 * 1365.0, 0.0, 4095.0).astype(jnp.uint32)
+    # clip to 4094 (not 4095): q == 4095 with idx == 2^20-1 would collide
+    # with the 0xFFFFFFFF empty-segment sentinel below and silently drop
+    # that seed as "unseeded"
+    q = jnp.clip(d2 / voxel_diag2 * 1365.0, 0.0, 4094.0).astype(jnp.uint32)
     key = (q << 20) | jnp.arange(n, dtype=jnp.uint32)
     seed_key = jax.ops.segment_min(key, vid, num_segments=nvox + 1,
                                    indices_are_sorted=False)[:nvox]

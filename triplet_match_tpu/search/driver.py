@@ -518,8 +518,17 @@ def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
 LAST_SEARCH_STATS: dict = {}
 
 # jitted round executables keyed by (mesh-or-"single", config dataclasses) —
-# see find_all; bounded in practice by the handful of configs a process uses
+# see find_all.  LRU-bounded: each entry pins a compiled executable (plus a
+# Mesh key holding device references), and parameter sweeps that construct
+# many distinct SearchPolicy values in one process would otherwise
+# accumulate programs for the process lifetime.
+_ROUND_FN_CACHE_MAX = 8
 _ROUND_FN_CACHE: dict = {}
+
+
+def clear_round_cache() -> None:
+    """Drop all cached round executables (frees compiled programs)."""
+    _ROUND_FN_CACHE.clear()
 
 
 def _publish_stats(stats: dict, profiler=None) -> None:
@@ -565,6 +574,7 @@ def find_all(
     seed: int = 13,
     prep: ScenePrep | None = None,
     mesh=None,
+    progress=None,
 ) -> list[Match]:
     """Find all model instances in the scene.
 
@@ -596,6 +606,11 @@ def find_all(
     ``early_out_factor * possible_model`` correspondences
     (impl/scene.hpp:330-347).  ``dist_thres=None`` defaults to
     ``policy.corr_dist_factor`` (= the reference's only dist_thres value).
+
+    ``progress``: optional callable polled after every round with the
+    fraction of the current phase's round budget completed (resets at each
+    phase, like the reference's per-``find_parallel`` progress_bar,
+    src/progress_bar.cpp:10-48) — e.g. ``utils.progress.ProgressBar.poll``.
     """
     if dist_thres is None:
         dist_thres = policy.corr_dist_factor
@@ -651,7 +666,7 @@ def find_all(
     # per-model loop, the recall studies — hit the same executable instead.
     cache_key = (round_kind, discretization, sample_params, policy,
                  max_icp_iterations)
-    round_fn = _ROUND_FN_CACHE.get(cache_key)
+    round_fn = _ROUND_FN_CACHE.pop(cache_key, None)
     if round_fn is None:
         round_fn = jax.jit(
             partial(
@@ -662,7 +677,9 @@ def find_all(
                 max_icp_iterations=max_icp_iterations,
             )
         )
-        _ROUND_FN_CACHE[cache_key] = round_fn
+    _ROUND_FN_CACHE[cache_key] = round_fn  # (re)insert as most-recent
+    while len(_ROUND_FN_CACHE) > _ROUND_FN_CACHE_MAX:
+        _ROUND_FN_CACHE.pop(next(iter(_ROUND_FN_CACHE)))
 
     n = prep.cloud.xyz.shape[0]
     consumed = jnp.zeros(n, bool)
@@ -696,7 +713,9 @@ def find_all(
         stats["phases"] += 1
         phase_accepted = False
         phase_early_out = False
-        for _ in range(phase_rounds):
+        if progress is not None:
+            progress(0.0)
+        for round_in_phase in range(phase_rounds):
             if rnd >= policy.max_rounds:
                 break
             key = jax.random.fold_in(base_key, rnd)
@@ -707,6 +726,8 @@ def find_all(
                 )
                 jax.block_until_ready(res.accept)
             rnd += 1
+            if progress is not None:
+                progress((round_in_phase + 1) / phase_rounds)
             accept = np.asarray(res.accept)
             stats["rounds"] += 1
             stats["hypotheses_scored"] += int(res.hypotheses_scored)

@@ -135,7 +135,8 @@ def pack_model(model, max_points: int = 4096, coarse_points: int = 512) -> Model
     radius (max distance from any pack point to its nearest same-kind coarse
     representative); phase-1 inflates the distance gate by it so a pose that
     would score on the full pack cannot miss on the coarse block (optimistic
-    counts, never pessimistic).
+    counts, never pessimistic — up to bf16 matmul rounding in hardware mode;
+    see score_groups_coarse).
     """
     import numpy as np
 
@@ -540,9 +541,19 @@ def score_groups_coarse(
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
 
-    Never pessimistic vs the full pack when ``dist_thres2`` is inflated to
-    (sqrt(thres2_full) + coarse_slack)^2: every same-kind pack point within
-    the full gate has a coarse representative within the inflated gate.  The
+    Never pessimistic vs the full pack — up to bf16 rounding — when
+    ``dist_thres2`` is inflated to (sqrt(thres2_full) + coarse_slack)^2:
+    every same-kind pack point within the full gate has a coarse
+    representative within the inflated gate.  The geometric bound is exact
+    at f32 (verified in interpret mode); production runs the distance
+    matmul with bf16 inputs (Precision.DEFAULT), whose absolute rounding
+    error on the -2*tp.m cross terms (~|tp||m| * 2^-9) can in principle
+    drop a borderline hit when the gate is small relative to the model
+    extent.  The worst-case bf16 margin is far too pessimistic to fold
+    into the gate (it would be ~ext^2/2^9, many thres^2 for dense
+    models); in practice phase 1 is a *ranker* and the slack-inflated
+    gate absorbs observed error (recall studies: 10/10 at every scale,
+    scripts/recall_study.py).  The
     kind-COMPETITION gate (dk <= do) is intentionally absent here — on a
     subsample the other-kind min can only grow while the own-kind min grows
     by <= the coverage radius, so enforcing it could spuriously drop poses.
