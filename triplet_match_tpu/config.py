@@ -88,6 +88,11 @@ class SearchPolicy:
     # early_drop: statistical abort of hopeless poses (impl/scene.hpp:492-506);
     # gates the batched analog, two-phase scoring (coarse subsample + rescore).
     early_drop: bool = True
+    # weighted_distance: Gaussian distance weight exp(-d^2/(2*thres)) on every
+    # correspondence (impl/scene.hpp:430,468); negative_scores: subtract the
+    # weight when the nearest model point's kind mismatches (:473-475).  Both
+    # reach ALL scoring paths: _score_points/finish_find, the Pallas ranking
+    # epilogue (score_groups_pallas / two-phase survivor rescore), and ICP.
     weighted_distance: bool = False
     negative_scores: bool = False
 

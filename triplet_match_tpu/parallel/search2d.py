@@ -271,13 +271,18 @@ def search_round_2d(
                 interpret=policy.pallas_interpret,
                 coarse_model=policy.two_phase_coarse_model,
                 fine_stride=policy.two_phase_fine_stride,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(
                 mpack, groups, rows, thres * thres,
                 mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
             )
-        scores = jnp.where(okg, s_pl, -1.0).reshape(-1)
+        invalid = -1.0e12 if policy.negative_scores else -1.0
+        scores = jnp.where(okg, s_pl, invalid).reshape(-1)
         # hyp_ok is replicated across sp (built from merged samples), so the
         # total only reduces over dp
         n_hyp = jnp.sum(hyp_ok.astype(jnp.int32))

@@ -280,13 +280,20 @@ def hypothesize_and_score(
                 interpret=policy.pallas_interpret,
                 coarse_model=policy.two_phase_coarse_model,
                 fine_stride=policy.two_phase_fine_stride,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(
                 mpack, groups, rows, thres * thres,
                 mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
             )
-        scores = jnp.where(hyp_ok.reshape(b1, b2 * qcap), s_pl, -1.0).reshape(-1)
+        # invalid sentinel must sit below any real score; signed scores
+        # under negative_scores can drop below -1
+        invalid = -1.0e12 if policy.negative_scores else -1.0
+        scores = jnp.where(hyp_ok.reshape(b1, b2 * qcap), s_pl, invalid).reshape(-1)
     else:
         def per_first(args):
             ts_b, ok_b, nbrs, nbr_ok = args  # [B2*Q,4,4], [B2*Q], [Ks], [Ks]
@@ -298,7 +305,8 @@ def hypothesize_and_score(
                 negative_scores=policy.negative_scores,
                 samples_on_all=policy.samples_on_all,
             )
-            return jnp.where(ok_b, s, -1.0)
+            invalid = -1.0e12 if policy.negative_scores else -1.0
+            return jnp.where(ok_b, s, invalid)
 
         scores = jax.lax.map(
             per_first,

@@ -275,9 +275,11 @@ def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
 
 
 def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_ref,
-            mw_ref, score_ref, count_ref, *, full: bool, pose_tile: int, mxu_precision):
+            mw_ref, score_ref, count_ref, *, full: bool, pose_tile: int, mxu_precision,
+            weighted: bool = False, negative: bool = False):
     thres2 = params_ref[0, 0]
     eps = params_ref[0, 1]
+    inv2t = params_ref[0, 2]  # 1/(2*thres) — Gaussian weight exponent scale
 
     sc = scene_ref[0]  # [8, K]
     px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
@@ -338,6 +340,18 @@ def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_re
         cnt = jnp.sum(ok.astype(jnp.float32))
         counts.append(cnt)
 
+        # optional reference scoring knobs (impl/scene.hpp:468-475): the
+        # Gaussian distance weight exp(-d^2/(2*thres)) — NOTE the reference
+        # divides by thres, not thres^2, faithfully preserved — and the
+        # wrong-kind penalty (nearest model point is the other kind within
+        # the gate -> subtract its weight)
+        w_pos = jnp.exp(-dk * inv2t) if weighted else ones
+        if negative:
+            wrong = (elig > 0.5) & (do <= thres2) & (do < dk)
+            w_neg_sum = jnp.sum(
+                jnp.where(wrong, jnp.exp(-do * inv2t) if weighted else ones, 0.0)
+            )
+
         if full:
             e = lax.dot_general(
                 a, md, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -362,9 +376,18 @@ def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_re
             wsum = jnp.sum(w * sel, axis=1)
             ssum = jnp.maximum(jnp.sum(sel, axis=1), 1.0)
             w_at_min = jnp.abs(wsum / ssum)[None, :]
-            scores.append(jnp.sum(jnp.where(ok, w_at_min, 0.0)))
+            s = jnp.sum(jnp.where(ok, w_at_min * w_pos, 0.0))
+            if negative:
+                s = s - w_neg_sum
+            scores.append(s)
         else:
-            scores.append(cnt)
+            if weighted or negative:
+                s = jnp.sum(jnp.where(ok, w_pos, 0.0))
+                if negative:
+                    s = s - w_neg_sum
+                scores.append(s)
+            else:
+                scores.append(cnt)
 
     j = pl.program_id(1)
     score_row = jnp.stack(scores).reshape(1, 1, pose_tile)
@@ -373,7 +396,8 @@ def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_re
     count_ref[0:1, pl.ds(j, 1), :] = count_row
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "pose_tile", "interpret", "mxu_precision"))
+@functools.partial(jax.jit, static_argnames=("mode", "pose_tile", "interpret", "mxu_precision",
+                                              "weighted_distance", "negative_scores"))
 def score_groups_pallas(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] from pack_groups
@@ -384,6 +408,8 @@ def score_groups_pallas(
     pose_tile: int = 8,
     interpret: bool = False,
     mxu_precision: str = "default",
+    weighted_distance: bool = False,
+    negative_scores: bool = False,
 ):
     """Score all G*Hg poses.  Returns (score [G, Hg], count [G, Hg]).
 
@@ -391,6 +417,15 @@ def score_groups_pallas(
     coordinates — production ranking; counts can differ from exact by a few
     near the distance gate) or "highest" (multi-pass, bit-exact against the
     jnp oracle; ~5x slower, used by the parity check).
+
+    ``weighted_distance`` / ``negative_scores`` mirror the reference scoring
+    knobs (impl/scene.hpp:468-475) in the kernel epilogue: the Gaussian
+    distance weight exp(-d^2/(2*thres)) multiplies each matched point's
+    contribution, and wrong-kind nearest neighbors within the gate subtract
+    their weight.  In count mode with either knob on, the returned *score*
+    becomes the weighted/signed sum (the ranking the reference would use)
+    while *count* stays the plain correspondence count the acceptance gates
+    read.
     """
     g, _, k = groups.shape
     hg = poses.shape[1]
@@ -408,8 +443,12 @@ def score_groups_pallas(
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
 
-    params = jnp.asarray([[0.0, 1e-6, 0.0, 0.0]], jnp.float32).at[0, 0].set(
-        jnp.asarray(dist_thres2, jnp.float32)
+    t2 = jnp.asarray(dist_thres2, jnp.float32)
+    inv2t = 0.5 / jnp.sqrt(jnp.maximum(t2, 1e-30))  # 1/(2*thres)
+    params = (
+        jnp.asarray([[0.0, 1e-6, 0.0, 0.0]], jnp.float32)
+        .at[0, 0].set(t2)
+        .at[0, 2].set(inv2t)
     )
     # model coords are centered in pack_model; |tp - mp| is invariant when
     # the pose translation shifts by the same center
@@ -422,7 +461,8 @@ def score_groups_pallas(
     # Mosaic supports only DEFAULT and HIGHEST dot precisions
     prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
     kernel = functools.partial(
-        _kernel, full=(mode == "full"), pose_tile=pose_tile, mxu_precision=prec
+        _kernel, full=(mode == "full"), pose_tile=pose_tile, mxu_precision=prec,
+        weighted=weighted_distance, negative=negative_scores,
     )
     score, count = pl.pallas_call(
         kernel,
@@ -593,7 +633,8 @@ def score_groups_coarse(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
-                     "coarse_model", "fine_stride"),
+                     "coarse_model", "fine_stride", "weighted_distance",
+                     "negative_scores"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -609,6 +650,8 @@ def score_groups_two_phase(
     interpret: bool = False,
     coarse_model: bool = True,
     fine_stride: int = 1,
+    weighted_distance: bool = False,
+    negative_scores: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -633,6 +676,13 @@ def score_groups_two_phase(
     the returned scores a strided-count RANKING rather than full-K counts;
     fine in the search driver where finalists get true finish_find scores
     anyway, but callers that read the counts directly should keep 1).
+
+    ``weighted_distance`` / ``negative_scores`` reach the phase-2 rescore
+    (score_groups_pallas epilogue — impl/scene.hpp:468-475), so the
+    survivor RANKING honors both knobs.  Phase 1 stays an optimistic plain
+    hit-count screen either way: its job is only to not drop poses the
+    full gate would keep, and both knobs can only *shrink* a pose's score,
+    never grow another's past the inflated-count bound.
     """
     g, hg = poses.shape[:2]
     keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)
@@ -657,13 +707,18 @@ def score_groups_two_phase(
         mpack, groups if fine_stride == 1 else groups[:, :, ::fine_stride],
         poses_kept, dist_thres2,
         mode=mode, pose_tile=pose_tile, interpret=interpret,
+        weighted_distance=weighted_distance, negative_scores=negative_scores,
     )
-    out = jnp.full((g, hg), -1.0, jnp.float32)
+    # drop sentinel: -1 ranks below any plain count/score, but signed scores
+    # under negative_scores can go below -1 — use -BIG so a low-but-valid
+    # survivor still outranks every dropped/invalid pose
+    drop = -float(_BIG) if negative_scores else -1.0
+    out = jnp.full((g, hg), drop, jnp.float32)
     out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, kept, s2)
     cnt = jnp.zeros((g, hg), jnp.int32)
     cnt = jax.vmap(lambda o, i, v: o.at[i].set(v))(cnt, kept, c2)
     if ok is not None:
-        out = jnp.where(ok, out, -1.0)
+        out = jnp.where(ok, out, drop)
         cnt = jnp.where(ok, cnt, 0)
     return out, cnt
 
@@ -682,12 +737,17 @@ def poses_to_rows(ts: jax.Array) -> jax.Array:
 
 
 def score_groups_exact_jnp(model, scene, tangent_mask, consumed, nbr_idx, nbr_valid,
-                           ts, dist_thres):
+                           ts, dist_thres, weighted_distance: bool = False,
+                           negative_scores: bool = False, orientation: bool = True):
     """Same math as the kernel, in plain jnp (vmapped), for parity checks.
 
-    ts: [G, Hg, 4, 4]; nbr_idx/nbr_valid: [G, K].
+    ts: [G, Hg, 4, 4]; nbr_idx/nbr_valid: [G, K].  ``orientation=False``
+    drops the |ref.ref_n| factor — the count-mode score formulation —
+    so the oracle covers both kernel modes with the
+    weighted_distance/negative_scores knobs (impl/scene.hpp:468-475).
     """
     thres2 = (jnp.float32(dist_thres) * model.resolution) ** 2
+    inv2t = 0.5 / jnp.sqrt(jnp.maximum(thres2, 1e-30))  # matches the kernel's params
     mxyz = jnp.where(model.cloud.valid[:, None], model.cloud.xyz, _FAR)
     is_edge = jnp.linalg.norm(model.cloud.tangent, axis=-1) > 0.7
     mref = jnp.where(is_edge[:, None], model.cloud.tangent, model.cloud.normal)
@@ -721,7 +781,15 @@ def score_groups_exact_jnp(model, scene, tangent_mask, consumed, nbr_idx, nbr_va
                               jnp.where(is_edge[None, :], _BIG, d2))
             sel = (ekind <= dk[:, None] + 1e-6).astype(jnp.float32)
             wmin = jnp.abs(jnp.sum(w * sel, 1) / jnp.maximum(jnp.sum(sel, 1), 1.0))
-            return jnp.sum(jnp.where(ok, wmin, 0.0)), jnp.sum(ok.astype(jnp.int32))
+            if not orientation:
+                wmin = jnp.ones_like(wmin)
+            w_pos = jnp.exp(-dk * inv2t) if weighted_distance else jnp.ones_like(dk)
+            s = jnp.sum(jnp.where(ok, wmin * w_pos, 0.0))
+            if negative_scores:
+                wrong = elig & (do <= thres2) & (do < dk)
+                w_neg = jnp.exp(-do * inv2t) if weighted_distance else jnp.ones_like(do)
+                s = s - jnp.sum(jnp.where(wrong, w_neg, 0.0))
+            return s, jnp.sum(ok.astype(jnp.int32))
 
         return jax.vmap(one_pose)(ts_g)
 
