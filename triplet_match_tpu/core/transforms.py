@@ -107,7 +107,8 @@ def weighted_kabsch(src, dst, w, axis_name: str | None = None) -> jax.Array:
     return out
 
 
-def gauss_newton_pose_step(src, dst, m_dir, m_kind, w) -> jax.Array:
+def gauss_newton_pose_step(src, dst, m_dir, m_kind, w,
+                           axis_name: str | None = None) -> jax.Array:
     """One Gauss-Newton rigid update for a hybrid point-to-plane objective.
 
     Minimizes sum_i w_i |M_i (src_i + dx - dst_i)|^2 over the se(3) update
@@ -123,6 +124,12 @@ def gauss_newton_pose_step(src, dst, m_dir, m_kind, w) -> jax.Array:
     not bias the fit.  Returns [4, 4] (the small update as a rigid pose).
 
     src/dst: [N, 3]; m_dir: [N, 3]; m_kind: [N] bool (True=edge); w: [N].
+
+    ``axis_name``: when the corr arrays are point-axis shards of a
+    mesh-sharded scene (inside shard_map), the normal equations A = J^T W J
+    and b = -J^T W r are plain sums over points — one psum round makes
+    every shard solve the identical global 6x6 system (the same raw-moment
+    pattern as ``weighted_kabsch``'s sharded path).
     """
     d = src - dst  # residual vector per corr
     # M d and M J assembled via the projector action on vectors
@@ -156,6 +163,9 @@ def gauss_newton_pose_step(src, dst, m_dir, m_kind, w) -> jax.Array:
     ww = w[:, None]
     a = jnp.einsum("ind,jnd->ij", mcols * ww[None], mcols, precision=_HI)  # [6,6]
     b = -jnp.einsum("ind,nd->i", mcols * ww[None], md, precision=_HI)  # [6]
+    if axis_name is not None:
+        a = jax.lax.psum(a, axis_name)
+        b = jax.lax.psum(b, axis_name)
     # Levenberg damping for rank-deficient corr sets
     a = a + 1e-6 * jnp.trace(a) / 6.0 * jnp.eye(6, dtype=a.dtype)
     x = jnp.linalg.solve(a, b)

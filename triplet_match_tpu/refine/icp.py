@@ -58,11 +58,6 @@ def icp_refine(
     """
     relaxed = 2.0 * dist_thres  # impl/scene.hpp:373,395
 
-    if point_to_plane and axis_name is not None:
-        raise NotImplementedError(
-            "point_to_plane polish is not yet supported on scene-sharded ICP"
-        )
-
     def _ff(t, thres, exact=False):
         return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
                            weighted_distance=weighted_distance, negative_scores=negative_scores,
@@ -165,7 +160,8 @@ def tight_polish(
                 jnp.linalg.norm(m_dir, axis=-1, keepdims=True), 1e-12
             )
             upd = gauss_newton_pose_step(
-                src, model.cloud.xyz[midx], m_dir, is_edge, w
+                src, model.cloud.xyz[midx], m_dir, is_edge, w,
+                axis_name=axis_name,
             )
             t_new = upd @ t
         else:

@@ -112,8 +112,64 @@ def _grid_edge_ratios(cloud: cl.PointCloud, qidx: jax.Array, *,
     return jax.lax.map(tile, (qx, qn)).reshape(-1)
 
 
+def _grid_edge_ratios_mesh(cloud: cl.PointCloud, qidx: jax.Array, *,
+                           policy: SearchPolicy, chunk: int, cap: int,
+                           mesh) -> jax.Array:
+    """Mesh-sharded variant of :func:`_grid_edge_ratios`.
+
+    The query tiles shard jointly over ALL mesh axes (pure data
+    parallelism — each device sweeps its own tile stack against the
+    replicated grid), so a scene whose edge-candidate pass would not fit
+    one host's patience spreads across every chip.  The result is gathered
+    back replicated so every process of a multi-controller runtime reads
+    the same ratios (parallel/distributed.py conventions).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from triplet_match_tpu.ops import gridnn
+
+    import math
+
+    ndev = math.prod(mesh.shape.values())
+    all_axes = tuple(mesh.axis_names)
+    joint = P(all_axes)  # dim 0 sharded over every axis jointly
+
+    @partial(jax.jit, static_argnames=("chunk",))
+    def run(cloud, qidx, *, chunk):
+        tangent_bearing = cloud.valid & (
+            jnp.linalg.norm(cloud.tangent, axis=-1) > policy.tangent_norm_threshold
+        )
+        cell = gridnn.estimate_knn_radius(
+            cloud.xyz, cloud.valid, policy.curvature_k, focus=tangent_bearing
+        )
+        grid = gridnn.build_grid(cloud.xyz, cloud.valid, cell)
+        qx = cloud.xyz[qidx].reshape(ndev, -1, chunk, 3)
+        qn = cloud.normal[qidx].reshape(ndev, -1, chunk, 3)
+
+        def per_device(grid, xyz, normal, qx_d, qn_d):
+            def tile(args):
+                x, nq = args
+                idx, mask = gridnn.grid_neighbors(grid, xyz, x, policy.curvature_k, cap=cap)
+                c = curvature_from_neighbors(nq, normal[idx], mask)
+                return curvature_ratio(c)
+
+            return jax.lax.map(tile, (qx_d[0], qn_d[0]))[None]
+
+        out = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), joint, joint),
+            out_specs=joint, check_vma=False,
+        )(grid, cloud.xyz, cloud.normal, qx, qn)
+        # gather replicated so every controller reads identical ratios
+        return jax.lax.with_sharding_constraint(
+            out.reshape(-1), NamedSharding(mesh, P())
+        )
+
+    return run(cloud, qidx, chunk=chunk)
+
+
 def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
-                        chunk: int = 4096, cap: int = 64) -> ScenePrep:
+                        chunk: int = 4096, cap: int = 64, mesh=None) -> ScenePrep:
     """Grid-bucketed edge classification for large scenes.
 
     The brute-force pass is O(N^2/block) matmuls — minutes at 1M points —
@@ -141,20 +197,31 @@ def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
     tm_np = np.zeros(n, bool)
     if qidx.size:
         c = min(chunk, max(-(-qidx.size // 256) * 256, 256))
-        qp = -(-qidx.size // c) * c
+        stride = c
+        if mesh is not None:
+            import math
+
+            stride = c * math.prod(mesh.shape.values())
+        qp = -(-qidx.size // stride) * stride
         qidx_p = np.zeros(qp, np.int32)
         qidx_p[: qidx.size] = qidx
-        ratios = np.asarray(
-            _grid_edge_ratios(cloud, jnp.asarray(qidx_p), policy=policy,
-                              chunk=c, cap=cap)
-        )[: qidx.size]
+        if mesh is not None:
+            ratios = np.asarray(
+                _grid_edge_ratios_mesh(cloud, jnp.asarray(qidx_p), policy=policy,
+                                       chunk=c, cap=cap, mesh=mesh)
+            )[: qidx.size]
+        else:
+            ratios = np.asarray(
+                _grid_edge_ratios(cloud, jnp.asarray(qidx_p), policy=policy,
+                                  chunk=c, cap=cap)
+            )[: qidx.size]
         tm_np[qidx] = ratios < policy.curvature_ratio_threshold
     tm = jnp.asarray(tm_np) & cloud.valid
     return ScenePrep(cloud=cloud, tangent_mask=tm, n_edge=jnp.sum(tm.astype(jnp.int32)))
 
 
 def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY,
-                  *, grid_threshold: int = 32768) -> ScenePrep:
+                  *, grid_threshold: int = 32768, mesh=None) -> ScenePrep:
     """Per-scene preprocessing (impl/scene.hpp:41-58).
 
     Scenes above ``grid_threshold`` points use the grid-bucketed neighbor
@@ -163,11 +230,18 @@ def prepare_scene(cloud: cl.PointCloud, policy: SearchPolicy = DEFAULT_POLICY,
     the brute pass's approximate (bf16) candidate selection starts losing
     true neighbors in dense unit-scale scenes AND the grid pass is already
     much faster.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the grid pass's query
+    tiles over every device of the mesh (multi-chip / multi-host scene
+    preparation; see parallel/distributed.py).  ``cloud`` must hold full
+    process-local arrays (replicated); the returned prep is replicated too
+    and is sharded for the search by the caller (driver.find_all for
+    single-controller meshes, make_global_cloud for multi-controller).
     """
     n = cloud.xyz.shape[0]
-    if n <= grid_threshold:
+    if n <= grid_threshold and mesh is None:
         return _prepare_scene_whole(cloud, policy)
-    return _prepare_scene_grid(cloud, policy=policy)
+    return _prepare_scene_grid(cloud, policy=policy, mesh=mesh)
 
 
 class RoundResult(NamedTuple):
