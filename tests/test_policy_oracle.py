@@ -1,0 +1,225 @@
+"""A/B: batched driver vs the sequential reference-policy oracle.
+
+The oracle (search/oracle.py) transliterates the reference's sequential
+control flow (impl/scene.hpp:39-510) in NumPy; these tests assert the
+batched TPU driver accepts the SAME match set — same instance count, same
+claimed instances (corr-set IoU), poses equivalent modulo model symmetry —
+on small fixtures, including one where the sequential early-out/early-drop
+ordering could pick instances in a different order.  Divergences here are
+policy bugs, not float noise.  (Pose agreement is bounded by the
+reference's own relaxed-gate ICP bias, not 1 mm: see _match_sets_agree.)
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import pose_delta
+from triplet_match_tpu.index.model import compile_model
+from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model, rotation_matrix
+from triplet_match_tpu.search.driver import find_all, prepare_scene
+from triplet_match_tpu.search.oracle import find_all_oracle
+
+POLICY = SearchPolicy(
+    num_first_samples=48, num_second_samples=16, query_cap=8,
+    score_neighbors=256, finalists=4, max_rounds=6,
+)
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+DISC = DiscretizationParams()
+
+
+@pytest.fixture(scope="module")
+def box_model():
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          POLICY, pair_block=128)
+    return xyz, nrm, tan, model
+
+
+# the synthetic box is (surface-)invariant under {I, Rx(pi), Ry(pi), Rz(pi)};
+# pair features cannot distinguish orbit members (true upstream too), so pose
+# comparison must be modulo this group (index/symmetry.py semantics)
+_BOX_SYMS = [np.eye(4, dtype=np.float32)]
+for _axis in ([1, 0, 0], [0, 1, 0], [0, 0, 1]):
+    _s = np.eye(4, dtype=np.float32)
+    _s[:3, :3] = rotation_matrix(_axis, np.pi)
+    _BOX_SYMS.append(_s)
+
+
+def _sym_pose_delta(t1, t2):
+    """Min over orbit members by combined distance (180-deg flips about the
+    box center move the translation barely at all, so dt alone cannot pick
+    the right member)."""
+    best = (np.inf, np.inf)
+    for s in _BOX_SYMS:
+        dt, dr = pose_delta(jnp.asarray(np.asarray(t1) @ s), jnp.asarray(t2))
+        dt, dr = float(dt), float(np.degrees(float(dr)))
+        if dt + 0.01 * dr < best[0] + 0.01 * best[1]:
+            best = (dt, dr)
+    return best
+
+
+def _match_sets_agree(driver_matches, oracle_matches, resolution):
+    """Same instance count; matches pair bijectively by claimed-scene-point
+    overlap (IoU > 0.5 — the instance-identity criterion), and paired poses
+    agree modulo model symmetry within the relaxed-gate ICP bias envelope.
+
+    The driver's poses are deliberately BETTER than the reference's: its
+    tight polish refines at the unrelaxed exact-NN gate (refine/icp.py),
+    while the oracle faithfully stops at the reference's 2x relaxed gate
+    (impl/scene.hpp:373) whose clutter/discretization bias is a known
+    fraction of the model resolution — so pose agreement is asserted to
+    0.75 * resolution / 2 deg, and driver-vs-ground-truth accuracy is
+    asserted separately at the mm scale."""
+    assert len(driver_matches) == len(oracle_matches), (
+        f"driver accepted {len(driver_matches)}, oracle {len(oracle_matches)}"
+    )
+    used = set()
+    for dm in driver_matches:
+        best = None
+        for i, om in enumerate(oracle_matches):
+            if i in used:
+                continue
+            a, b = set(dm.scene_corrs.tolist()), set(om.scene_corrs.tolist())
+            iou = len(a & b) / max(len(a | b), 1)
+            if iou > 0.5:
+                best = i
+                break
+        assert best is not None, "driver match claims an instance the oracle did not"
+        used.add(best)
+        dt, dr = _sym_pose_delta(dm.transform, oracle_matches[best].transform)
+        assert dt < 0.75 * resolution and dr < 2.0, (dt, dr)
+
+
+def test_single_instance_parity(box_model):
+    xyz, nrm, tan, model = box_model
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11
+    )
+    prep = prepare_scene(scene, POLICY)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE,
+                  discretization=DISC, policy=POLICY, max_icp_iterations=10)
+    dm = find_all(model, scene, seed=13, prep=prep, **kwargs)
+    om = find_all_oracle(model, prep, seed=13, **kwargs)
+    assert len(dm) == 1
+    _match_sets_agree(dm, om, float(model.resolution))
+    # both recover the planted pose
+    for m in dm + om:
+        dt, dr = pose_delta(jnp.asarray(m.transform), jnp.asarray(t_gt))
+        assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.5
+
+
+def _two_instance_scene(xyz, nrm, tan, n_clutter=0, seed=3):
+    r1 = rotation_matrix([0, 0, 1], 0.4)
+    r2 = rotation_matrix([1, 1, 0], 2.0)
+    t1, t2 = np.array([3, 0, 0], np.float32), np.array([-3, 0, 0], np.float32)
+    parts_x = [xyz @ r1.T + t1, xyz @ r2.T + t2]
+    parts_n = [nrm @ r1.T, nrm @ r2.T]
+    parts_t = [tan @ r1.T, tan @ r2.T]
+    if n_clutter:
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(-4, 4, (n_clutter, 3)).astype(np.float32)
+        cn = rng.normal(size=(n_clutter, 3)).astype(np.float32)
+        cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+        parts_x.append(cx)
+        parts_n.append(cn)
+        parts_t.append(np.zeros((n_clutter, 3), np.float32))
+    scene = PointCloud.from_arrays(
+        np.concatenate(parts_x), np.concatenate(parts_n), np.concatenate(parts_t)
+    )
+    gts = []
+    for r, t in [(r1, t1), (r2, t2)]:
+        g = np.eye(4, dtype=np.float32)
+        g[:3, :3] = r
+        g[:3, 3] = t
+        gts.append(g)
+    return scene, gts
+
+
+def test_two_instance_parity(box_model):
+    """Multi-instance extraction: the masking protocol (impl/scene.hpp:87-93)
+    must yield the same two instances from both implementations."""
+    xyz, nrm, tan, model = box_model
+    scene, gts = _two_instance_scene(xyz, nrm, tan)
+    prep = prepare_scene(scene, POLICY)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE,
+                  discretization=DISC, policy=POLICY, max_icp_iterations=10)
+    dm = find_all(model, scene, seed=5, prep=prep, **kwargs)
+    om = find_all_oracle(model, prep, seed=5, **kwargs)
+    assert len(dm) == 2
+    _match_sets_agree(dm, om, float(model.resolution))
+
+
+def test_early_out_order_divergence_documented(box_model):
+    """Crafted so the sequential ordering MATTERS — and exposes a real
+    policy divergence the oracle exists to find (PARITY.md "first-sufficient
+    finalist selection").
+
+    In this cluttered two-instance scene the reference's policy genuinely
+    accepts only ONE instance: each chunk keeps the FIRST hypothesis whose
+    ball-corr count clears the sufficiency bar, never a later better one
+    (best_ts fills only while empty, impl/scene.hpp:330-338), and its
+    relaxed-gate ICP stops on the first non-growing step (:396) — so
+    phase 1's candidates stall at ~60% correspondence and fail the
+    new-tangent-corr acceptance gate.  The driver feeds ICP the TOP-scoring
+    hypotheses instead and accepts both instances under IDENTICAL gates.
+    Assertions: the driver strictly dominates (finds a superset), the
+    common instance agrees, and the oracle reproduces the reference's
+    1-instance outcome."""
+    xyz, nrm, tan, model = box_model
+    scene, gts = _two_instance_scene(xyz, nrm, tan, n_clutter=300, seed=9)
+    prep = prepare_scene(scene, POLICY)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.4, early_out_factor=0.5,
+                  sample_params=SAMPLE, discretization=DISC, policy=POLICY,
+                  max_icp_iterations=10)
+    dm = find_all(model, scene, seed=2, prep=prep, **kwargs)
+    om = find_all_oracle(model, prep, seed=2, **kwargs)
+    # driver locates both planted instances
+    found = set()
+    for m in dm:
+        for gi, g in enumerate(gts):
+            dt, dr = pose_delta(jnp.asarray(m.transform), jnp.asarray(g))
+            if float(dt) < 5e-3 and float(np.degrees(float(dr))) < 1.0:
+                found.add(gi)
+    assert found == {0, 1}
+    # the reference policy stalls at one instance on this fixture
+    assert len(om) == 1
+    # every oracle match has a driver counterpart (superset, same instance)
+    res = float(model.resolution)
+    for o in om:
+        paired = False
+        for d in dm:
+            a, b = set(d.scene_corrs.tolist()), set(o.scene_corrs.tolist())
+            if len(a & b) / max(len(a | b), 1) > 0.5:
+                # pose sanity only: at factor 0.4 in heavy clutter the
+                # reference's relaxed-gate pose is genuinely ~1-2x
+                # resolution biased; instance identity is the assertion
+                dt, dr = _sym_pose_delta(d.transform, o.transform)
+                assert dt < 2.0 * res and dr < 10.0, (dt, dr)
+                paired = True
+        assert paired, "oracle match has no driver counterpart"
+
+
+def test_early_drop_never_drops_sufficient(box_model):
+    """The early-drop schedule (impl/scene.hpp:492-506) is a statistical
+    abort of HOPELESS poses: switching it off must not change the oracle's
+    accepted matches, only the work done."""
+    import dataclasses
+
+    xyz, nrm, tan, model = box_model
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11
+    )
+    prep = prepare_scene(scene, POLICY)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE,
+                  discretization=DISC, max_icp_iterations=10, seed=13)
+    om_drop = find_all_oracle(model, prep, policy=POLICY, **kwargs)
+    om_full = find_all_oracle(
+        model, prep, policy=dataclasses.replace(POLICY, early_drop=False), **kwargs
+    )
+    assert len(om_drop) == len(om_full) == 1
+    dt, dr = pose_delta(jnp.asarray(om_drop[0].transform),
+                        jnp.asarray(om_full[0].transform))
+    assert float(dt) < 1e-4 and float(np.degrees(float(dr))) < 0.05
