@@ -402,3 +402,90 @@ def test_weighted_negative_knobs_reach_pallas_ranking(setup):
         3.0, weighted_distance=True, negative_scores=True, orientation=False,
     )[0])
     np.testing.assert_allclose(s_2p[survivors], ref[survivors], rtol=1e-5, atol=1e-5)
+
+
+def test_coarse_linear_matches_direct(setup):
+    """The pose-linearized coarse ranker (score_groups_coarse_linear,
+    ROADMAP 3d lever b) is a drop-in for the direct coarse kernel:
+    identical hit counts in interpret (f32) mode."""
+    from triplet_match_tpu.search.score_pallas import (
+        score_groups_coarse,
+        score_groups_coarse_linear,
+        score_groups_two_phase,
+    )
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres = 3.0 * float(model.resolution)
+    mpack = pack_model(model)
+    t2c = (thres + float(mpack.coarse_slack)) ** 2
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+
+    c_dir = score_groups_coarse(mpack, groups, rows, t2c, pose_tile=4, interpret=True)
+    c_lin = score_groups_coarse_linear(mpack, groups, rows, t2c, pose_tile=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(c_dir), np.asarray(c_lin))
+
+    # and through the two-phase path the final scores agree as well
+    thres2 = thres * thres
+    s_a, c_a = score_groups_two_phase(
+        mpack, groups, rows, thres2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True, coarse_linear=False,
+    )
+    s_b, c_b = score_groups_two_phase(
+        mpack, groups, rows, thres2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True, coarse_linear=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+
+
+def test_full_mode_ranking_via_two_phase(setup):
+    """Orientation-weighted (full-mode) RANKING at production structure
+    (VERDICT r2 #8): coarse count screen, full-mode rescore on survivors
+    only.  Survivor scores must equal the all-pose full-mode kernel's."""
+    import dataclasses
+
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+
+    s_2p, c_2p = score_groups_two_phase(
+        mpack, groups, rows, thres2, mode="full", pose_tile=4,
+        coarse_stride=4, keep_frac=4, interpret=True,
+    )
+    s_full, c_full = score_groups_pallas(
+        mpack, groups, rows, thres2, mode="full", pose_tile=4, interpret=True,
+    )
+    s_2p, c_2p = np.asarray(s_2p), np.asarray(c_2p)
+    surv = s_2p >= 0.0
+    assert surv.any()
+    np.testing.assert_allclose(s_2p[surv], np.asarray(s_full)[surv], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(c_2p[surv], np.asarray(c_full)[surv])
+
+    # the integrated driver path with ranking_mode="full" still finds the pose
+    from triplet_match_tpu.core.transforms import pose_delta
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.search.driver import find_all
+
+    policy = dataclasses.replace(
+        POLICY,
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=2,
+        scorer="pallas", pallas_interpret=True, ranking_mode="full",
+    )
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    scene2, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    matches = find_all(
+        model, scene2, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert matches
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.6

@@ -156,6 +156,21 @@ class SearchPolicy:
     # ranking noise costs more search rounds than the kernel saves).
     two_phase_coarse_model: bool = True
     coarse_model_points: int = 512  # coarse block size (pack_model coarse_points)
+    # ranking_mode: what the two-phase survivor rescore returns as the
+    # hypothesis RANKING — "count" (production: correspondence counts; the
+    # acceptance gates are count-based, impl/scene.hpp:227) or "full" (the
+    # reference's orientation-weighted score sum(|ref.ref_n|),
+    # impl/scene.hpp:469-489).  Full mode costs ~200x count mode per scored
+    # pose, but the coarse phase screens ~97% of poses first, so full-mode
+    # RANKING at production scale costs only the survivor fraction (the
+    # VERDICT r2 #8 "count-mode phase 1, full-mode on survivors" structure).
+    ranking_mode: str = "count"
+    # pose-linearized coarse ranker (score_groups_coarse_linear): the 4-D
+    # distance decomposes into per-point statics x per-pose model rows, so
+    # the kernel is two matmuls (one at full 128-deep MXU contraction) with
+    # ZERO per-pose VPU transform work — ROADMAP 3d lever b.  Same optimistic
+    # no-miss contract as the direct coarse kernel.
+    two_phase_coarse_linear: bool = False
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

@@ -204,3 +204,61 @@ def embed_in_scene(
     tm[:3, 3] = t
     scene = PointCloud.from_arrays(xyz, normal, tangent, capacity=capacity)
     return scene, tm, inst
+
+
+def make_lattice_model(cells: int = 4, n_edge: int = 20000, size: float = 1.0,
+                       seed: int = 0, jitter: float = 0.0, graded: bool = False):
+    """Wireframe lattice "scaffold" model: EVERY point is an edge point.
+
+    A (cells x cells x cells) grid of struts — the degenerate case for the
+    pair-table subsampling cap (index/model.compile_model max_pair_points):
+    the reference enumerates ALL edge pairs (impl/model.hpp:124-149), and a
+    scaffold scan is exactly the geometry where the edge count explodes.
+    Points sit on the axis-aligned grid beams with tangents along the beam;
+    normals point radially away from the beam axis (arbitrary but smooth).
+
+    Returns (xyz, normal, tangent) float32 arrays with ~n_edge points.
+    """
+    rng = _rng(seed)
+    if graded:
+        # geometrically graded plane spacing: breaks the cubic + cell-shift
+        # self-symmetries so pose recall can compare against ground truth
+        # directly (a uniform lattice maps onto itself under dozens of
+        # rigid self-maps)
+        u = np.geomspace(1.0, 2.0, cells + 1)
+        lin = (size * (u - u[0]) / (u[-1] - u[0]) - size / 2).astype(np.float32)
+    else:
+        lin = np.linspace(-size / 2, size / 2, cells + 1).astype(np.float32)
+
+    beams = []  # (vary axis, fixed coords)
+    for vary in range(3):
+        fixed = [a for a in range(3) if a != vary]
+        for fa in lin:
+            for fb in lin:
+                beams.append((vary, fixed, fa, fb))
+    per_beam = max(n_edge // len(beams), 2)
+
+    pts, tans, nrms = [], [], []
+    for vary, fixed, fa, fb in beams:
+        t = rng.uniform(-size / 2, size / 2, per_beam).astype(np.float32)
+        p = np.zeros((per_beam, 3), np.float32)
+        p[:, vary] = t
+        p[:, fixed[0]] = fa
+        p[:, fixed[1]] = fb
+        tg = np.zeros((per_beam, 3), np.float32)
+        tg[:, vary] = 1.0
+        # radial normal: a smooth unit field perpendicular to the beam
+        theta = rng.uniform(0, 2 * np.pi, per_beam).astype(np.float32)
+        nm = np.zeros((per_beam, 3), np.float32)
+        nm[:, fixed[0]] = np.cos(theta)
+        nm[:, fixed[1]] = np.sin(theta)
+        pts.append(p)
+        tans.append(tg)
+        nrms.append(nm)
+
+    xyz = np.concatenate(pts)
+    tangent = np.concatenate(tans)
+    normal = np.concatenate(nrms)
+    if jitter > 0:
+        xyz = xyz + rng.normal(0, jitter, xyz.shape).astype(np.float32)
+    return xyz.astype(np.float32), normal.astype(np.float32), tangent.astype(np.float32)

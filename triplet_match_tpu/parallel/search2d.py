@@ -265,7 +265,7 @@ def search_round_2d(
         if policy.early_drop and policy.two_phase_scoring and ks >= 256:
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres, okg,
-                mode="count", pose_tile=16,
+                mode=policy.ranking_mode, pose_tile=16,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
@@ -273,11 +273,13 @@ def search_round_2d(
                 fine_stride=policy.two_phase_fine_stride,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
+                coarse_linear=policy.two_phase_coarse_linear,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(
                 mpack, groups, rows, thres * thres,
-                mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+                mode=policy.ranking_mode, pose_tile=8,
+                interpret=policy.pallas_interpret,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
             )

@@ -348,7 +348,7 @@ def hypothesize_and_score(
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
                 hyp_ok.reshape(b1, b2 * qcap),
-                mode="count", pose_tile=16,
+                mode=policy.ranking_mode, pose_tile=16,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
@@ -361,7 +361,8 @@ def hypothesize_and_score(
         else:
             s_pl, _ = sp.score_groups_pallas(
                 mpack, groups, rows, thres * thres,
-                mode="count", pose_tile=8, interpret=policy.pallas_interpret,
+                mode=policy.ranking_mode, pose_tile=8,
+                interpret=policy.pallas_interpret,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
             )

@@ -238,7 +238,6 @@ def pack_model(model, max_points: int = 4096, coarse_points: int = 512) -> Model
         [c_xyz[:, 0], c_xyz[:, 1], c_xyz[:, 2], c_w, mp2_hi, mp2_lo, one, one],
         axis=0,
     ).astype(np.float32)
-
     return ModelPack(
         jnp.asarray(ch_d), jnp.asarray(ch_w), n_pad, jnp.asarray(center),
         jnp.asarray(md_edge), jnp.asarray(md_surf),
@@ -630,11 +629,161 @@ def score_groups_coarse(
     return count.reshape(g, hg)
 
 
+def _coarse_linear_kernel(params_ref, w_ref, sblk_ref, mc_ref, count_ref, *,
+                          pose_tile: int, k: int, mxu_precision,
+                          d2_bf16: bool = False):
+    """Pose-linearized coarse ranker: the per-pose operand build runs on
+    the MXU instead of the VPU.
+
+    tp2 = |p|^2 + 2 p . (R^T t) + |t|^2 makes EVERY row of the direct
+    kernel's scene operand block linear in per-point statics
+    S = [x, y, z, p2_hi, p2_lo, 1, w], so the block A [8, PT*K] (the exact
+    layout ``_coarse_kernel`` builds with per-pose VPU sweeps) is ONE small
+    matmul
+
+        A = Wcat [8, PT*C] @ blockdiag(S) [PT*C, PT*K]     (~64x fewer MACs
+                                                            than the distance
+                                                            matmul)
+
+    with Wcat holding each pose's coefficient rows (built vectorized
+    outside).  The distance matmul against the coarse model block is then
+    UNCHANGED (depth 8 — blockdiag on the big contraction was measured a
+    wash: Mosaic streams true depth-8 efficiently, so the 16x zero-padding
+    FLOPs cancel the VPU savings).  Row 6 of A receives tp2 from the small
+    matmul (its p2 part exact via the static hi+lo channels); the kernel
+    splits it into (bf16 hi, f32 residual) rows 6/7 so tp2 survives the
+    distance matmul's bf16 input rounding, exactly like the direct kernel.
+
+    ``d2_bf16`` stores the [PT*K, Nc] distance matrix as bfloat16 — halves
+    the dominant VMEM traffic (matmul store + min-sweep read) for a ~2^-9
+    relative rounding of d2, noise against the slack-inflated gate.
+    """
+    t2 = params_ref[0, 0]
+    wcat = w_ref[0, 0]  # [8, PT*C]
+    a = lax.dot_general(
+        wcat, sblk_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=mxu_precision,
+    )  # [8, PT*K] — the direct kernel's pose-block operand
+    tp2 = a[6:7, :]
+    hi = tp2.astype(jnp.bfloat16).astype(jnp.float32)
+    a = jnp.concatenate([a[0:6, :], hi, tp2 - hi], axis=0)
+    d2 = lax.dot_general(
+        a, mc_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=mxu_precision,
+    )  # [PT*K, Nc]
+    if d2_bf16:
+        # Mosaic requires a 32-bit matmul accumulator; cast afterwards so
+        # the min-sweep reads half the bytes (fused into the epilogue when
+        # the compiler allows)
+        d2 = d2.astype(jnp.bfloat16)
+    # any-hit as min-then-compare (identical to max of the hit mask)
+    dmin = jnp.min(d2, axis=1, keepdims=True).astype(jnp.float32)  # [PT*K, 1]
+    anyhit = (dmin <= t2).astype(jnp.float32)
+    counts = [jnp.sum(anyhit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
+    j = pl.program_id(1)
+    count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
+
+
+_LIN_C = 7  # statics channels: [x, y, z, p2_hi, p2_lo, 1, w]
+
+
+@functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
+                                              "d2_bf16"))
+def score_groups_coarse_linear(
+    mpack: ModelPack,
+    groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
+    poses: jax.Array,  # [G, Hg, 16]
+    dist_thres2,  # scalar — inflate by mpack.coarse_slack for the no-miss bound
+    *,
+    pose_tile: int = 16,
+    interpret: bool = False,
+    mxu_precision: str = "default",
+    d2_bf16: bool = False,
+):
+    """Linearized drop-in for :func:`score_groups_coarse` (same contract:
+    optimistic 4-D hit counts [G, Hg] against the coarse block, same
+    inflated-gate no-miss bound up to bf16 rounding).
+
+    Per-point statics S are shared by every pose of a group, so
+    blockdiag(S) is built ONCE per group here (plain XLA) and stays
+    VMEM-resident across all the group's pose tiles; per-pose coefficient
+    rows Wcat are built vectorized over all poses.  All per-pose work
+    inside the kernel is two matmuls — see ``_coarse_linear_kernel``.
+    """
+    g, _, k = groups.shape
+    hg = poses.shape[1]
+    nc = mpack.md_coarse.shape[1]
+    if hg % pose_tile:
+        raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
+    hgt = hg // pose_tile
+    c = _LIN_C
+
+    params = jnp.stack(
+        [jnp.asarray(dist_thres2, jnp.float32), jnp.float32(0.0),
+         jnp.float32(0.0), jnp.float32(0.0)]
+    ).reshape(1, 4)
+    poses = poses.at[..., 9:12].add(-mpack.center)
+
+    # --- per-point statics -> blockdiag(S), one per group ---
+    x, y, z = groups[:, 0], groups[:, 1], groups[:, 2]  # [G, K]
+    w = mpack.kind_off * groups[:, 3]
+    inelig = (1.0 - groups[:, 4]) * float(_BIG)
+    p2 = x * x + y * y + z * z + w * w + inelig
+    p2_hi = p2.astype(jnp.bfloat16).astype(jnp.float32)
+    p2_lo = p2 - p2_hi
+    ones = jnp.ones_like(x)
+    s = jnp.stack([x, y, z, p2_hi, p2_lo, ones, w], axis=1)  # [G, C, K]
+    eye = jnp.eye(pose_tile, dtype=jnp.float32)
+    sblk = jnp.einsum("pq,gck->gpcqk", eye, s).reshape(
+        g, pose_tile * c, pose_tile * k
+    )
+
+    # --- per-pose coefficient rows W [8 block-rows, C statics] ---
+    # block rows (the direct kernel's operand layout, _coarse_kernel):
+    #   0-2: -2 tp_xyz    3: -2 w     4,5: 1     6: tp2 (split in-kernel)
+    r = poses[..., :9].reshape(g, hg, 3, 3)
+    t = poses[..., 9:12]
+    rt_t = jnp.einsum("...ji,...j->...i", r, t)  # R^T t
+    t2n = jnp.sum(t * t, axis=-1)
+    wm = jnp.zeros((g, hg, 8, c), jnp.float32)
+    wm = wm.at[..., 0:3, 0:3].set(-2.0 * r)  # -2 (R p)_i needs R row i
+    wm = wm.at[..., 0:3, 5].set(-2.0 * t)  # -2 t_i on the ones channel
+    wm = wm.at[..., 3, 6].set(-2.0)  # -2 w
+    wm = wm.at[..., 4, 5].set(1.0)
+    wm = wm.at[..., 5, 5].set(1.0)
+    wm = wm.at[..., 6, 0:3].set(2.0 * rt_t)  # 2 p . R^T t
+    wm = wm.at[..., 6, 3].set(1.0)  # + p2_hi
+    wm = wm.at[..., 6, 4].set(1.0)  # + p2_lo
+    wm = wm.at[..., 6, 5].set(t2n)  # + |t|^2
+    # row 7 stays zero; the kernel overwrites it with the tp2 residual
+    # reshape [G, hgt, PT, 8, C] -> [G, hgt, 8, PT*C]
+    wm = wm.reshape(g, hgt, pose_tile, 8, c)
+    wcat = jnp.swapaxes(wm, 2, 3).reshape(g, hgt, 8, pose_tile * c)
+
+    prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
+    kernel = functools.partial(_coarse_linear_kernel, pose_tile=pose_tile, k=k,
+                               mxu_precision=prec, d2_bf16=d2_bf16)
+    count = pl.pallas_call(
+        kernel,
+        grid=(g, hgt),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8, pose_tile * c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, pose_tile * c, pose_tile * k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((8, nc), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
+        interpret=interpret,
+    )(params, wcat, sblk, mpack.md_coarse)
+    return count.reshape(g, hg)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
                      "coarse_model", "fine_stride", "weighted_distance",
-                     "negative_scores"),
+                     "negative_scores", "coarse_linear"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -652,6 +801,7 @@ def score_groups_two_phase(
     fine_stride: int = 1,
     weighted_distance: bool = False,
     negative_scores: bool = False,
+    coarse_linear: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -690,7 +840,8 @@ def score_groups_two_phase(
 
     if coarse_model:
         t2c = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.coarse_slack) ** 2
-        s1 = score_groups_coarse(
+        coarse_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
+        s1 = coarse_fn(
             mpack, coarse, poses, t2c,
             pose_tile=pose_tile, interpret=interpret,
         )
