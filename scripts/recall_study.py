@@ -59,6 +59,14 @@ def main():
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--settings", default="coarse:8:16,exact:8:16")
+    ap.add_argument("--coarse-points", type=int, default=None,
+                    help="coarse block size (policy.coarse_model_points)")
+    ap.add_argument("--fine-points", type=int, default=None,
+                    help="medium block size (policy.fine_model_points)")
+    ap.add_argument("--fine-coarse", action="store_true",
+                    help="survivor ranking on the medium 4-D block")
+    ap.add_argument("--coarse-linear", action="store_true",
+                    help="pose-linearized coarse kernel")
     ap.add_argument("--no-isolate", action="store_true",
                     help="run all settings in this process (default: one "
                          "subprocess per setting — the TPU runtime degrades "
@@ -72,6 +80,14 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__), "--no-isolate",
                    "--seeds", str(args.seeds), "--points", str(args.points),
                    "--settings", s.strip()]
+            if args.coarse_points is not None:
+                cmd += ["--coarse-points", str(args.coarse_points)]
+            if args.fine_points is not None:
+                cmd += ["--fine-points", str(args.fine_points)]
+            if args.fine_coarse:
+                cmd += ["--fine-coarse"]
+            if args.coarse_linear:
+                cmd += ["--coarse-linear"]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 print(json.dumps({"setting": s.strip(), "FAILED": res.returncode}),
@@ -115,10 +131,19 @@ def main():
         scenes.append((scene, t_gt))
 
     for kind, stride, keep, fine in settings:
+        extra = {}
+        if args.coarse_points is not None:
+            extra["coarse_model_points"] = args.coarse_points
+        if args.fine_points is not None:
+            extra["fine_model_points"] = args.fine_points
+        if args.fine_coarse:
+            extra["two_phase_fine_coarse"] = True
+        if args.coarse_linear:
+            extra["two_phase_coarse_linear"] = True
         policy = dataclasses.replace(
             base, two_phase_stride=stride, two_phase_keep_frac=keep,
             two_phase_coarse_model=(kind == "coarse"),
-            two_phase_fine_stride=fine,
+            two_phase_fine_stride=fine, **extra,
         )
         found, dts, drs, secs = 0, [], [], []
         for seed, (scene, t_gt) in enumerate(scenes):
@@ -135,7 +160,11 @@ def main():
                 dts.append(dt * 1000)
                 drs.append(dr)
         print(json.dumps({
-            "setting": f"{kind}:{stride}:{keep}:{fine}",
+            "setting": f"{kind}:{stride}:{keep}:{fine}" + (
+                f" cpts={args.coarse_points}" if args.coarse_points else "") + (
+                f" fpts={args.fine_points}" if args.fine_points else "") + (
+                " fc" if args.fine_coarse else "") + (
+                " lin" if args.coarse_linear else ""),
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,

@@ -292,13 +292,16 @@ def test_coarse_phase_never_pessimistic(setup):
     c_coarse = score_groups_coarse(
         mpack, groups, rows, t2c, pose_tile=4, interpret=True
     )
-    assert (np.asarray(c_coarse) >= np.asarray(c_full).astype(np.float32)).all()
-    # the MXU-reduction variant is bit-identical (it exists as a measured
-    # negative result — see _coarse_kernel docstring)
+    # floor() strips the fractional strict-gate tiebreak term (ROADMAP 3d5)
+    # and recovers the integer inflated-gate count
+    c_coarse_n = np.floor(np.asarray(c_coarse))
+    assert (c_coarse_n >= np.asarray(c_full).astype(np.float32)).all()
+    # the MXU-reduction variant matches the integer count (it exists as a
+    # measured negative result — see _coarse_kernel docstring; no tiebreak)
     c_mxu = score_groups_coarse(
         mpack, groups, rows, t2c, pose_tile=4, interpret=True, reduce="mxu"
     )
-    np.testing.assert_array_equal(np.asarray(c_coarse), np.asarray(c_mxu))
+    np.testing.assert_array_equal(c_coarse_n, np.asarray(c_mxu))
     # and the coarse counts are not vacuous: junk poses stay near zero
     hg = ts.shape[1]
     c = np.asarray(c_coarse)
@@ -478,6 +481,60 @@ def test_full_mode_ranking_via_two_phase(setup):
         num_first_samples=32, num_second_samples=8, query_cap=8,
         score_neighbors=256, finalists=2, max_rounds=2,
         scorer="pallas", pallas_interpret=True, ranking_mode="full",
+    )
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    scene2, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    matches = find_all(
+        model, scene2, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert matches
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.6
+
+
+def test_fine_coarse_survivor_ranking(setup):
+    """Survivor ranking against the medium 4-D block (fine_coarse): the
+    no-miss contract means near-true poses rank at the top exactly as with
+    the full-pack rescore, and the integrated driver still recovers the
+    pose."""
+    import dataclasses
+
+    from triplet_match_tpu.search.score_pallas import score_groups_two_phase
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres2 = (3.0 * float(model.resolution)) ** 2
+    mpack = pack_model(model)
+    assert float(mpack.fine_slack) <= float(mpack.coarse_slack)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+
+    s_ref, _ = score_groups_two_phase(
+        mpack, groups, rows, thres2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True,
+    )
+    s_fc, c_fc = score_groups_two_phase(
+        mpack, groups, rows, thres2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True, fine_coarse=True,
+    )
+    s_ref, s_fc = np.asarray(s_ref), np.asarray(s_fc)
+    # same survivor sets (phase 1 identical), and the best (near-true) pose
+    # per group is the same under both rankings
+    np.testing.assert_array_equal(s_ref >= 0, s_fc >= 0)
+    np.testing.assert_array_equal(np.argmax(s_ref, axis=1), np.argmax(s_fc, axis=1))
+    assert (np.asarray(c_fc)[s_fc >= 0] >= 0).all()
+
+    from triplet_match_tpu.core.transforms import pose_delta
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.search.driver import find_all
+
+    policy = dataclasses.replace(
+        POLICY,
+        num_first_samples=32, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=2,
+        scorer="pallas", pallas_interpret=True, two_phase_fine_coarse=True,
     )
     xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
     scene2, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)

@@ -150,12 +150,12 @@ class SearchPolicy:
     two_phase_fine_stride: int = 4
     # phase-1 additionally ranks against a coarse model subsample (distance
     # gate inflated by its coverage radius so true correspondences cannot be
-    # missed); survivors are always rescored on the full pack.  256 reps
-    # measure ~10% faster but inflate the gate from 2.6x to 3.5x the
-    # distance threshold (noisier ranking — the stride-16 study showed
-    # ranking noise costs more search rounds than the kernel saves).
+    # missed); survivors are always rescored against the model.  256 reps
+    # (gate 3.5x thres) measured -23% kernel time over 512 and cleared the
+    # 10-seed touching-fog recall study (10/10, max 0.29mm/0.04deg) — the
+    # strict-gate tiebreak term keeps the inflated gate's ranking sharp.
     two_phase_coarse_model: bool = True
-    coarse_model_points: int = 512  # coarse block size (pack_model coarse_points)
+    coarse_model_points: int = 256  # coarse block size (pack_model coarse_points)
     # ranking_mode: what the two-phase survivor rescore returns as the
     # hypothesis RANKING — "count" (production: correspondence counts; the
     # acceptance gates are count-based, impl/scene.hpp:227) or "full" (the
@@ -171,6 +171,22 @@ class SearchPolicy:
     # ZERO per-pose VPU transform work — ROADMAP 3d lever b.  Same optimistic
     # no-miss contract as the direct coarse kernel.
     two_phase_coarse_linear: bool = False
+    # survivor ranking against the medium 4-D block (pack_model fine_points)
+    # instead of the full pack's two-block kind-competition sweep: the fine
+    # phase's output is a RANKING only (finalists get true finish_find
+    # scores), and its full-pack sweep is the two-phase pipeline's dominant
+    # VMEM traffic.  Same slack-inflated no-miss contract at the fine
+    # block's (tighter) coverage radius.  Count-mode only; ignored when
+    # ranking_mode="full" or the weighted/negative knobs are on.  Default on
+    # after the 10-seed touching-fog recall study (10/10, max 0.35mm/0.04deg
+    # with the strict-gate tiebreak; without the tiebreak one seed drifted
+    # to 5.9mm — the inflated gate blurs poses within the slack band).
+    two_phase_fine_coarse: bool = True
+    fine_model_points: int = 1536  # medium block size (pack_model fine_points)
+    # poses per kernel program: per-program fixed costs (operand DMA
+    # latency, epilogue) dominate below 16; 32 measured best on v5e at the
+    # 256-rep coarse block (VMEM pressure caps it)
+    two_phase_pose_tile: int = 32
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

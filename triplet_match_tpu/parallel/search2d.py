@@ -265,7 +265,7 @@ def search_round_2d(
         if policy.early_drop and policy.two_phase_scoring and ks >= 256:
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres, okg,
-                mode=policy.ranking_mode, pose_tile=16,
+                mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
@@ -274,6 +274,7 @@ def search_round_2d(
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 coarse_linear=policy.two_phase_coarse_linear,
+                fine_coarse=policy.two_phase_fine_coarse,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

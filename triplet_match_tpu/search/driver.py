@@ -348,7 +348,7 @@ def hypothesize_and_score(
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
                 hyp_ok.reshape(b1, b2 * qcap),
-                mode=policy.ranking_mode, pose_tile=16,
+                mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 interpret=policy.pallas_interpret,
@@ -357,6 +357,7 @@ def hypothesize_and_score(
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 coarse_linear=policy.two_phase_coarse_linear,
+                fine_coarse=policy.two_phase_fine_coarse,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(
@@ -741,7 +742,8 @@ def find_all(
     if use_pallas:
         from triplet_match_tpu.search import score_pallas as sp
 
-        mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points)  # host compaction; once per model
+        mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points,
+                              fine_points=policy.fine_model_points)  # host compaction; once per model
 
     # Cache the jitted round across find_all calls: jax.jit keys on function
     # identity, and a fresh ``partial`` per search would re-trace the whole

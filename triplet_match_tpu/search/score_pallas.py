@@ -75,6 +75,11 @@ class ModelPack(NamedTuple):
     md_coarse: jax.Array  # [8, NcP]
     kind_off: jax.Array  # scalar: the 4th-coordinate kind offset (power of 2)
     coarse_slack: jax.Array  # scalar: coverage radius of the coarse block
+    # medium 4-D block for the two-phase SURVIVOR ranking (fine_coarse):
+    # same layout/contract as md_coarse at a larger size — tighter slack,
+    # still ~2-3x narrower than the full pack's edge+surface sweep
+    md_fine: jax.Array  # [8, NfP]
+    fine_slack: jax.Array  # scalar: coverage radius of the fine block
 
 
 def _coverage_subsample(xyz, valid, cap: int):
@@ -112,7 +117,8 @@ def _coverage_subsample(xyz, valid, cap: int):
     return np.sort(idx[first])
 
 
-def pack_model(model, max_points: int = 4096, coarse_points: int = 512) -> ModelPack:
+def pack_model(model, max_points: int = 4096, coarse_points: int = 512,
+               fine_points: int = 1536) -> ModelPack:
     """Stage a CompiledModel's cloud for gather-free scoring.
 
     Host-side (numpy): the edge/surface split requires concrete edge counts
@@ -209,39 +215,51 @@ def pack_model(model, max_points: int = 4096, coarse_points: int = 512) -> Model
             r = max(r, float(np.sqrt(d2.min(axis=1).max())))
         return reps, r
 
-    edge_c, r_e = coarse(edge_pts, coarse_points // 2)
-    surf_c, r_s = coarse(surf_pts, coarse_points // 2)
     # 4th-coordinate kind offset: same-kind pairs add 0, cross-kind pairs add
     # off^2 >> any usable distance gate, so a plain 4-D NN hit test IS the
     # own-kind hit test.  A power of two so bf16 products stay exact; >> the
     # pack extent so off^2 dominates (thres + slack)^2 for any sane gate.
     ext = float(np.abs(xyz[valid]).max()) if valid.any() else 1.0
     off = float(2.0 ** np.ceil(np.log2(max(4.0 * ext, 1e-6))))
-    nc = edge_c.shape[0] + surf_c.shape[0]
-    nc_pad = _round_up(max(nc, 1), 128)
-    c_xyz = np.concatenate([edge_c, surf_c], axis=0).astype(np.float32)
-    c_w = np.concatenate(
-        [np.full(edge_c.shape[0], off, np.float32), np.zeros(surf_c.shape[0], np.float32)]
-    )
-    c_xyz = padn(c_xyz, 0.0, to=nc_pad)
-    c_w = padn(c_w, 0.0, to=nc_pad)
-    mp2 = np.sum(c_xyz * c_xyz, axis=-1) + c_w * c_w
-    mp2[nc:] = 2.0 * float(_BIG)  # padded entries can never register a hit
-    # split |p4|^2 into a bf16-exact part + f32 residual so the coarse
-    # kernel's default-precision (bf16-input) matmul reconstructs it fully
+
     import ml_dtypes
 
-    mp2_hi = mp2.astype(np.float32).astype(ml_dtypes.bfloat16).astype(np.float32)
-    mp2_lo = mp2 - mp2_hi
-    one = np.ones((nc_pad,), np.float32)
-    md_coarse = np.stack(
-        [c_xyz[:, 0], c_xyz[:, 1], c_xyz[:, 2], c_w, mp2_hi, mp2_lo, one, one],
-        axis=0,
-    ).astype(np.float32)
+    def fourd_block(cap):
+        """Subsampled 4-D representative block + its coverage radius.
+
+        Rows [x, y, z, w(kind), |p4|^2_hi, |p4|^2_lo, 1, 1] — the hi+lo
+        split keeps |p4|^2 exact through a bf16-input matmul.
+        """
+        edge_c, r_e = coarse(edge_pts, cap // 2)
+        surf_c, r_s = coarse(surf_pts, cap // 2)
+        nb = edge_c.shape[0] + surf_c.shape[0]
+        nb_pad = _round_up(max(nb, 1), 128)
+        c_xyz = np.concatenate([edge_c, surf_c], axis=0).astype(np.float32)
+        c_w = np.concatenate(
+            [np.full(edge_c.shape[0], off, np.float32),
+             np.zeros(surf_c.shape[0], np.float32)]
+        )
+        c_xyz = padn(c_xyz, 0.0, to=nb_pad)
+        c_w = padn(c_w, 0.0, to=nb_pad)
+        mp2 = np.sum(c_xyz * c_xyz, axis=-1) + c_w * c_w
+        mp2[nb:] = 2.0 * float(_BIG)  # padded entries can never register a hit
+        mp2_hi = mp2.astype(np.float32).astype(ml_dtypes.bfloat16).astype(np.float32)
+        mp2_lo = mp2 - mp2_hi
+        one = np.ones((nb_pad,), np.float32)
+        md = np.stack(
+            [c_xyz[:, 0], c_xyz[:, 1], c_xyz[:, 2], c_w, mp2_hi, mp2_lo, one, one],
+            axis=0,
+        ).astype(np.float32)
+        return md, max(r_e, r_s)
+
+    md_coarse, slack_c = fourd_block(coarse_points)
+    md_fine, slack_f = fourd_block(fine_points)
+
     return ModelPack(
         jnp.asarray(ch_d), jnp.asarray(ch_w), n_pad, jnp.asarray(center),
         jnp.asarray(md_edge), jnp.asarray(md_surf),
-        jnp.asarray(md_coarse), jnp.float32(off), jnp.float32(max(r_e, r_s)),
+        jnp.asarray(md_coarse), jnp.float32(off), jnp.float32(slack_c),
+        jnp.asarray(md_fine), jnp.float32(slack_f),
     )
 
 
@@ -513,6 +531,7 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     """
     thres2 = params_ref[0, 0]
     off = params_ref[0, 1]
+    thres2_strict = params_ref[0, 2]
 
     sc = scene_ref[0]  # [8, K]
     px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
@@ -545,8 +564,9 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
         a, mc_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=mxu_precision,
     )  # [PT*K, Nc] — complete 4-D squared distances
-    hit = (d2 <= thres2).astype(jnp.float32)
+    k = px.shape[1]
     if reduce == "mxu":
+        hit = (d2 <= thres2).astype(jnp.float32)
         # per-point rep count via the MXU, clamped at 1 = exact any-hit
         nc = hit.shape[1]
         ones_col = jnp.ones((nc, 1), jnp.float32)
@@ -556,26 +576,36 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
         )  # [PT*K, 1]
         any_hit = jnp.minimum(pair_col, 1.0)
     else:
-        any_hit = jnp.max(hit, axis=1, keepdims=True)  # [PT*K, 1]
+        # min-then-compare == max of the hit mask, and the per-point min
+        # makes the strict-gate tiebreak free (one extra tiny compare)
+        dmin = jnp.min(d2, axis=1, keepdims=True)  # [PT*K, 1]
+        any_hit = (dmin <= thres2).astype(jnp.float32)
+        strict = (dmin <= thres2_strict).astype(jnp.float32)
+        # score = inflated count + strict count / (K+1): the inflated
+        # (no-miss) count stays the PRIMARY key; the strict count only
+        # breaks ties toward precise poses (the inflated gate blurs
+        # everything within the slack band to equal scores)
+        any_hit = any_hit + strict / jnp.float32(k + 1)
 
-    k = px.shape[1]
     counts = [jnp.sum(any_hit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
     j = pl.program_id(1)
     count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
 
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
-                                              "reduce"))
+                                              "reduce", "block"))
 def score_groups_coarse(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
     poses: jax.Array,  # [G, Hg, 16]
-    dist_thres2,  # scalar — inflate by mpack.coarse_slack for the no-miss bound
+    dist_thres2,  # scalar — inflate by the block's slack for the no-miss bound
+    dist_thres2_strict=None,  # optional strict gate for the tiebreak term
     *,
     pose_tile: int = 16,
     interpret: bool = False,
     mxu_precision: str = "default",
     reduce: str = "max",
+    block: str = "coarse",
 ):
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
@@ -596,16 +626,29 @@ def score_groups_coarse(
     kind-COMPETITION gate (dk <= do) is intentionally absent here — on a
     subsample the other-kind min can only grow while the own-kind min grows
     by <= the coverage radius, so enforcing it could spuriously drop poses.
+
+    When ``dist_thres2_strict`` is given (the un-inflated gate), the score
+    gains a fractional strict-gate tiebreak: count_inflated +
+    count_strict/(K+1).  The integer part is still the no-miss inflated
+    count; the fraction ranks poses with equal inflated coverage by how
+    many points fall inside the STRICT gate, which keeps the inflated
+    gate's ranking sharp (without it, every pose within the slack band
+    scores identically and a blurred pose can win — ROADMAP 3d5 measured
+    one touching-fog seed at 5.9mm vs 0.35mm with the tiebreak).  With
+    ``dist_thres2_strict=None`` the strict gate equals the inflated one
+    and the score is count*(1 + 1/(K+1)) — ``floor`` recovers the count.
     """
     g, _, k = groups.shape
     hg = poses.shape[1]
-    nc = mpack.md_coarse.shape[1]
+    md_block = mpack.md_coarse if block == "coarse" else mpack.md_fine
+    nc = md_block.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
 
+    t2 = jnp.asarray(dist_thres2, jnp.float32)
+    t2s = t2 if dist_thres2_strict is None else jnp.asarray(dist_thres2_strict, jnp.float32)
     params = jnp.stack(
-        [jnp.asarray(dist_thres2, jnp.float32), mpack.kind_off,
-         jnp.float32(0.0), jnp.float32(0.0)]
+        [t2, mpack.kind_off, t2s, jnp.float32(0.0)]
     ).reshape(1, 4)
     poses = poses.at[..., 9:12].add(-mpack.center)
 
@@ -625,7 +668,7 @@ def score_groups_coarse(
         out_specs=pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
         interpret=interpret,
-    )(params, poses.reshape(g, hg, 16), groups, mpack.md_coarse)
+    )(params, poses.reshape(g, hg, 16), groups, md_block)
     return count.reshape(g, hg)
 
 
@@ -659,6 +702,7 @@ def _coarse_linear_kernel(params_ref, w_ref, sblk_ref, mc_ref, count_ref, *,
     relative rounding of d2, noise against the slack-inflated gate.
     """
     t2 = params_ref[0, 0]
+    t2s = params_ref[0, 2]
     wcat = w_ref[0, 0]  # [8, PT*C]
     a = lax.dot_general(
         wcat, sblk_ref[0], (((1,), (0,)), ((), ())),
@@ -676,9 +720,11 @@ def _coarse_linear_kernel(params_ref, w_ref, sblk_ref, mc_ref, count_ref, *,
         # the min-sweep reads half the bytes (fused into the epilogue when
         # the compiler allows)
         d2 = d2.astype(jnp.bfloat16)
-    # any-hit as min-then-compare (identical to max of the hit mask)
+    # any-hit as min-then-compare (identical to max of the hit mask);
+    # strict-gate tiebreak as in _coarse_kernel
     dmin = jnp.min(d2, axis=1, keepdims=True).astype(jnp.float32)  # [PT*K, 1]
     anyhit = (dmin <= t2).astype(jnp.float32)
+    anyhit = anyhit + (dmin <= t2s).astype(jnp.float32) / jnp.float32(k + 1)
     counts = [jnp.sum(anyhit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
     j = pl.program_id(1)
     count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
@@ -688,17 +734,19 @@ _LIN_C = 7  # statics channels: [x, y, z, p2_hi, p2_lo, 1, w]
 
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
-                                              "d2_bf16"))
+                                              "d2_bf16", "block"))
 def score_groups_coarse_linear(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
     poses: jax.Array,  # [G, Hg, 16]
-    dist_thres2,  # scalar — inflate by mpack.coarse_slack for the no-miss bound
+    dist_thres2,  # scalar — inflate by the block's slack for the no-miss bound
+    dist_thres2_strict=None,  # optional strict gate for the tiebreak term
     *,
     pose_tile: int = 16,
     interpret: bool = False,
     mxu_precision: str = "default",
     d2_bf16: bool = False,
+    block: str = "coarse",
 ):
     """Linearized drop-in for :func:`score_groups_coarse` (same contract:
     optimistic 4-D hit counts [G, Hg] against the coarse block, same
@@ -712,15 +760,17 @@ def score_groups_coarse_linear(
     """
     g, _, k = groups.shape
     hg = poses.shape[1]
-    nc = mpack.md_coarse.shape[1]
+    md_block = mpack.md_coarse if block == "coarse" else mpack.md_fine
+    nc = md_block.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
     hgt = hg // pose_tile
     c = _LIN_C
 
+    t2 = jnp.asarray(dist_thres2, jnp.float32)
+    t2s = t2 if dist_thres2_strict is None else jnp.asarray(dist_thres2_strict, jnp.float32)
     params = jnp.stack(
-        [jnp.asarray(dist_thres2, jnp.float32), jnp.float32(0.0),
-         jnp.float32(0.0), jnp.float32(0.0)]
+        [t2, jnp.float32(0.0), t2s, jnp.float32(0.0)]
     ).reshape(1, 4)
     poses = poses.at[..., 9:12].add(-mpack.center)
 
@@ -775,7 +825,7 @@ def score_groups_coarse_linear(
         out_specs=pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
         interpret=interpret,
-    )(params, wcat, sblk, mpack.md_coarse)
+    )(params, wcat, sblk, md_block)
     return count.reshape(g, hg)
 
 
@@ -783,7 +833,7 @@ def score_groups_coarse_linear(
     jax.jit,
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
                      "coarse_model", "fine_stride", "weighted_distance",
-                     "negative_scores", "coarse_linear"),
+                     "negative_scores", "coarse_linear", "fine_coarse"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -802,6 +852,7 @@ def score_groups_two_phase(
     weighted_distance: bool = False,
     negative_scores: bool = False,
     coarse_linear: bool = False,
+    fine_coarse: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -842,7 +893,7 @@ def score_groups_two_phase(
         t2c = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.coarse_slack) ** 2
         coarse_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
         s1 = coarse_fn(
-            mpack, coarse, poses, t2c,
+            mpack, coarse, poses, t2c, dist_thres2,
             pose_tile=pose_tile, interpret=interpret,
         )
     else:
@@ -854,12 +905,28 @@ def score_groups_two_phase(
         s1 = jnp.where(ok, s1, -1.0)
     _, kept = jax.lax.top_k(s1, keep)  # [G, keep]
     poses_kept = jnp.take_along_axis(poses, kept[..., None], axis=1)  # [G, keep, 16]
-    s2, c2 = score_groups_pallas(
-        mpack, groups if fine_stride == 1 else groups[:, :, ::fine_stride],
-        poses_kept, dist_thres2,
-        mode=mode, pose_tile=pose_tile, interpret=interpret,
-        weighted_distance=weighted_distance, negative_scores=negative_scores,
-    )
+    fine_groups = groups if fine_stride == 1 else groups[:, :, ::fine_stride]
+    if fine_coarse and mode == "count" and not (weighted_distance or negative_scores):
+        # survivor RANKING against the medium 4-D block (md_fine): the
+        # two-phase output is a ranking (the driver discards these counts
+        # and rescores finalists with finish_find), so the exact two-min
+        # kind-competition sweep over the full pack is ~2-3x more VMEM
+        # traffic than the ranking needs.  Same slack-inflated no-miss
+        # contract as phase 1, at the fine block's (tighter) radius.
+        t2f = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.fine_slack) ** 2
+        fine_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
+        s2 = fine_fn(
+            mpack, fine_groups, poses_kept, t2f, dist_thres2,
+            pose_tile=pose_tile, interpret=interpret, block="fine",
+        )
+        c2 = s2.astype(jnp.int32)
+    else:
+        s2, c2 = score_groups_pallas(
+            mpack, fine_groups,
+            poses_kept, dist_thres2,
+            mode=mode, pose_tile=pose_tile, interpret=interpret,
+            weighted_distance=weighted_distance, negative_scores=negative_scores,
+        )
     # drop sentinel: -1 ranks below any plain count/score, but signed scores
     # under negative_scores can go below -1 — use -BIG so a low-but-valid
     # survivor still outranks every dropped/invalid pose
