@@ -1,0 +1,234 @@
+"""Disk cache of compiled XLA executables (true AOT warm start).
+
+The reference starts searching the moment a model is loaded — its hot path
+is precompiled C++/OpenCL (``impl/scene.hpp:146-166``); there is no warmup
+cliff.  Under JAX the first search in a fresh process pays tracing plus
+backend compilation, and on this deployment the backend compile rides a
+remote compile service with *erratic* latency (identical programs observed
+30 s-15 min; the persistent HLO-level cache does not reliably absorb it —
+scripts/profile_first_search.py measured a warm-cache ``compile_model`` at
+157 s that had taken 8 s minutes earlier).
+
+The robust fix is to persist the compiled *executable* itself:
+``jax.experimental.serialize_executable`` pickles the loaded PJRT
+executable, and deserializing is a local file read (~40 ms measured through
+the same tunnel).  Entries are keyed by everything that shapes the program:
+
+  - package source hash (any code edit invalidates the whole cache),
+  - jax version, backend platform + device kind,
+  - the abstract signature (shape/dtype/weak-type) of every argument,
+  - the repr of the static configuration (frozen dataclasses).
+
+Stale entries are therefore impossible by construction; the cache
+directory is bounded by an LRU file sweep.  Any failure to load or store
+falls back silently to the normal jit path — AOT is an accelerator, never
+a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+
+_CACHE_ENV = "TMTPU_AOT_CACHE"
+_DISABLE_ENV = "TMTPU_AOT_DISABLE"
+_DEFAULT_DIR = "/tmp/tmtpu_aot_cache"
+_MAX_ENTRIES = 64  # LRU sweep bound (executables are MBs, not GBs)
+
+_SRC_HASH: str | None = None
+_MEM: dict = {}  # key -> loaded Compiled (per-process; unbounded is fine, see LRU note)
+_MEM_MAX = 16
+_WARNED = False
+
+
+def enabled() -> bool:
+    """AOT executable caching is TPU-only.
+
+    XLA:CPU AOT blobs encode host machine features and loading one compiled
+    elsewhere (or under different feature detection) SIGILLs/segfaults —
+    measured in this environment: a blob stored and reloaded on the SAME
+    host crashed the process.  The TPU (PJRT) path round-trips cleanly
+    (~40 ms load through the remote tunnel).  ``TMTPU_AOT_FORCE=1``
+    overrides the platform gate (tests monkeypatch the serializer).
+    """
+    if os.environ.get(_DISABLE_ENV):
+        return False
+    if os.environ.get("TMTPU_AOT_FORCE"):
+        return True
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def cache_dir() -> str:
+    return os.environ.get(_CACHE_ENV, _DEFAULT_DIR)
+
+
+def _source_hash() -> str:
+    """Hash of every .py in the package: code edits invalidate the cache."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import triplet_match_tpu
+
+        root = os.path.dirname(os.path.abspath(triplet_match_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, files in sorted(os.walk(root)):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    h.update(fn.encode())
+                    with open(os.path.join(dirpath, fn), "rb") as fh:
+                        h.update(fh.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _abstract_sig(args) -> str:
+    """Abstract signature string for a pytree of arguments."""
+    import jax
+    from jax.api_util import shaped_abstractify
+
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    avals = ",".join(str(shaped_abstractify(x)) for x in leaves)
+    return f"{treedef}|{avals}"
+
+
+def cache_key(tag: str, args, statics: str) -> str:
+    """Content key for one (program, signature, config) combination."""
+    import jax
+
+    dev = jax.devices()[0]
+    parts = "\x00".join([
+        tag,
+        _source_hash(),
+        jax.__version__,
+        dev.platform,
+        getattr(dev, "device_kind", "?"),
+        _abstract_sig(args),
+        statics,
+    ])
+    return hashlib.sha256(parts.encode()).hexdigest()[:32]
+
+
+def _path(key: str) -> str:
+    return os.path.join(cache_dir(), f"{key}.jaxexec")
+
+
+def _warn_once(msg: str) -> None:
+    global _WARNED
+    if not _WARNED:
+        import warnings
+
+        warnings.warn(f"tmtpu AOT executable cache: {msg} (falling back to jit)")
+        _WARNED = True
+
+
+def load(key: str):
+    """Return the loaded Compiled for ``key``, or None."""
+    if not enabled():
+        return None
+    hit = _MEM.pop(key, None)
+    if hit is not None:
+        _MEM[key] = hit  # refresh LRU position
+        return hit
+    path = _path(key)
+    try:
+        with open(path, "rb") as fh:
+            blob, in_tree, out_tree = pickle.load(fh)
+        from jax.experimental import serialize_executable as se
+
+        compiled = se.deserialize_and_load(blob, in_tree, out_tree)
+        os.utime(path)  # LRU touch
+        _remember(key, compiled)
+        return compiled
+    except FileNotFoundError:
+        return None
+    except Exception as e:  # stale format / backend mismatch / pickle issues
+        _warn_once(f"load failed: {e!r}")
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return None
+
+
+def store(key: str, compiled) -> None:
+    """Best-effort persist of a jax.stages.Compiled."""
+    if not enabled():
+        return
+    _remember(key, compiled)
+    try:
+        from jax.experimental import serialize_executable as se
+
+        blob, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(cache_dir(), exist_ok=True)
+        path = _path(key)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump((blob, in_tree, out_tree), fh)
+        os.replace(tmp, path)  # atomic publish
+        _sweep()
+    except Exception as e:  # const_args, unsupported backend, disk errors
+        _warn_once(f"store failed: {e!r}")
+
+
+def _remember(key: str, compiled) -> None:
+    _MEM.pop(key, None)
+    _MEM[key] = compiled
+    while len(_MEM) > _MEM_MAX:
+        _MEM.pop(next(iter(_MEM)))
+
+
+def _sweep() -> None:
+    """Bound the cache directory to _MAX_ENTRIES files (oldest-mtime out)."""
+    try:
+        entries = [
+            (os.path.getmtime(p), p)
+            for p in (
+                os.path.join(cache_dir(), f)
+                for f in os.listdir(cache_dir())
+                if f.endswith(".jaxexec")
+            )
+        ]
+        entries.sort()
+        for _, p in entries[:-_MAX_ENTRIES]:
+            os.unlink(p)
+    except OSError:
+        pass
+
+
+def get_or_compile(tag: str, jitted, args, statics: str):
+    """Resolve ``jitted`` for ``args``' signature through the AOT cache.
+
+    Returns something callable with exactly ``args``-shaped arguments: the
+    deserialized executable on a hit, or the freshly compiled one (stored
+    for next time) on a miss.  Returns ``jitted`` itself if AOT is disabled
+    or anything fails — callers never need a fallback path of their own.
+    """
+    if not enabled():
+        return jitted
+    try:
+        key = cache_key(tag, args, statics)
+    except Exception as e:
+        _warn_once(f"keying failed: {e!r}")
+        return jitted
+    compiled = load(key)
+    if compiled is not None:
+        return compiled
+    try:
+        compiled = jitted.lower(*args).compile()
+    except Exception as e:
+        _warn_once(f"explicit lower/compile failed: {e!r}")
+        return jitted
+    store(key, compiled)
+    return compiled
+
+
+def clear_memory_cache() -> None:
+    """Drop in-process loaded executables (tests; frees device programs)."""
+    _MEM.clear()
