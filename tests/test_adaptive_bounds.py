@@ -20,6 +20,7 @@ from triplet_match_tpu.index.model import compile_model, query_pairs
 from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
 from triplet_match_tpu.search.driver import (
     LAST_SEARCH_STATS,
+    adaptive_inner_bound,
     adaptive_outer_bound,
     find_all,
     prepare_scene,
@@ -58,6 +59,65 @@ def test_outer_bound_model_bigger_than_scene():
     pol = SearchPolicy()
     # outer_prob >= 1 -> min_sample_count (log(0) guard)
     assert adaptive_outer_bound(500, 300, 1_000, pol) == pol.min_sample_count
+
+
+# ---------------------------------------------------------------------------
+# adaptive_inner_bound (impl/scene.hpp:276-282): per-first second-point effort
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def inner_fixture():
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=1200, size=(1, 1, 1), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan))
+    sparse, _, _ = embed_in_scene(xyz, nrm, tan, noise=0.002, n_clutter=500, seed=3)
+    # fog confined to a tight extent: ball population >> model size, the
+    # regime where the reference's inner bound exceeds the static cap
+    dense, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.002, n_clutter=8000,
+                                    clutter_extent=1.5, seed=5)
+    return model, sparse, dense, t_gt
+
+
+def test_inner_bound_density_regimes(inner_fixture):
+    model, sparse, dense, _ = inner_fixture
+    pol = SearchPolicy()
+    prep_s = prepare_scene(sparse)
+    prep_d = prepare_scene(dense)
+    # sparse: ball ~ model size -> the reference bound collapses to
+    # min_sample_count, well under the static cap
+    assert adaptive_inner_bound(prep_s, model, pol) == pol.min_sample_count
+    # dense fog: -log(1-p)*|ball|/n_model_all > 32 (the round-2 static cap)
+    b = adaptive_inner_bound(prep_d, model, pol)
+    assert b > pol.num_second_samples
+    # force_exhaustive: bound = ball population (>> probabilistic bound)
+    pol_fx = dataclasses.replace(pol, force_exhaustive=True)
+    assert adaptive_inner_bound(prep_d, model, pol_fx) > b
+    # empty eligibility degenerates to min_sample_count
+    empty = dataclasses.replace(prep_s, tangent_mask=jnp.zeros_like(prep_s.tangent_mask))
+    assert adaptive_inner_bound(empty, model, pol) == pol.min_sample_count
+
+
+def test_find_all_raises_effective_b2_in_dense_scenes(inner_fixture):
+    model, sparse, dense, t_gt = inner_fixture
+    # max_second_samples bounds the CPU cost of the raised round; the raise
+    # itself (32 -> 64) is what's under test
+    pol = SearchPolicy(num_first_samples=64, score_neighbors=256, finalists=2,
+                       query_cap=8, max_second_samples=64)
+    # sparse scene: the default cap stands
+    find_all(model, sparse, model_match_factor=0.5, policy=pol, seed=0)
+    assert LAST_SEARCH_STATS["num_second_samples_effective"] == pol.num_second_samples
+    # dense scene: raised to the next power of two, capped, and the
+    # instance is still found
+    matches = find_all(model, dense, model_match_factor=0.5, policy=pol, seed=0)
+    eff = LAST_SEARCH_STATS["num_second_samples_effective"]
+    assert eff > pol.num_second_samples
+    assert eff <= pol.max_second_samples
+    assert eff & (eff - 1) == 0, "effective b2 must be a power of two"
+    assert matches, "dense-fog instance not found"
+    # opting out restores the static cap
+    pol_off = dataclasses.replace(pol, adaptive_second_samples=False)
+    find_all(model, dense, model_match_factor=0.5, policy=pol_off, seed=0)
+    assert LAST_SEARCH_STATS["num_second_samples_effective"] == pol.num_second_samples
 
 
 # ---------------------------------------------------------------------------

@@ -113,6 +113,18 @@ class SearchPolicy:
     # ~min_sample_count (=10) — below this default, so per-first effort
     # meets or exceeds the reference's.
     num_second_samples: int = 32  # second points tried per first (inner_bound analog)
+    # adaptive_second_samples: in dense scenes the reference's per-first
+    # inner bound -log(1-p)*|ball|/n_model_all EXCEEDS the static cap above
+    # (|ball| = all scene points within the model diameter of the first,
+    # impl/scene.hpp:273-282).  When on, find_all estimates the
+    # 95th-percentile ball population at search start and raises the
+    # effective num_second_samples (next power of two, capped at
+    # max_second_samples) so the per-first effort meets the reference's in
+    # every density regime, not just the typical ~min_sample_count one.
+    # Static shapes make this per-search rather than per-first; the
+    # high-quantile estimate covers the dense tail.
+    adaptive_second_samples: bool = True
+    max_second_samples: int = 256  # shape cap for the adaptive raise
     second_pool: int = 128  # edge-point kNN pool per first for second sampling
     query_cap: int = 16  # model pair candidates gathered per feature query (<= query_limit)
     score_neighbors: int = 512  # scene points scored per hypothesis (radius-search analog)

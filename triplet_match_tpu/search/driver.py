@@ -22,6 +22,7 @@ the deterministic mask update between rounds.  Early-out / early-drop
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -600,6 +601,48 @@ def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
     return min(bound, max(int(n_scene), 1))
 
 
+def adaptive_inner_bound(prep: "ScenePrep", model: CompiledModel,
+                         policy: SearchPolicy, *, sample: int = 256,
+                         ref_sample: int = 65536, quantile: float = 0.95,
+                         seed: int = 0) -> int:
+    """Per-first adaptive inner sampling bound (impl/scene.hpp:276-282).
+
+    The reference sizes second-point effort per first point as
+    ``-log(1-p) / prob`` with ``prob = n_model_all / |ball|``, where
+    ``|ball|`` is the population of the model-diameter ball around the
+    first (ALL scene points, ``radius_search_inclusive``), clamped to
+    ``[min_sample_count, |ball|]``; ``force_exhaustive`` overrides to
+    ``|ball|``.
+
+    Static TPU shapes preclude a per-first bound, so this estimates the
+    ``quantile``-percentile ball population over ``sample`` random eligible
+    first points (against a ``ref_sample``-point scene subsample, unbiased
+    density scaling) and returns the reference bound at that density —
+    one number covering the dense tail of the firsts.  ``find_all`` raises
+    the effective ``num_second_samples`` to it when it exceeds the static
+    default (it never lowers: a masked-out sample under static shapes
+    saves nothing and only costs recall).
+    """
+    rng = np.random.default_rng(seed)
+    edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
+    if edge_ok.size == 0:
+        return policy.min_sample_count
+    valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
+    firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
+    sub = (valid_idx if valid_idx.size <= ref_sample
+           else rng.choice(valid_idx, size=ref_sample, replace=False))
+    xyz = np.asarray(prep.cloud.xyz)
+    d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
+    in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
+    ball_q = float(np.quantile(in_ball * valid_idx.size, quantile))
+    if policy.force_exhaustive:
+        return max(int(math.ceil(ball_q)), policy.min_sample_count)
+    n_all = max(int(model.n_all), 1)
+    bound = -math.log(1.0 - policy.match_probability) * ball_q / n_all
+    bound = max(bound, policy.min_sample_count)
+    return int(math.ceil(min(bound, ball_q)))
+
+
 LAST_SEARCH_STATS: dict = {}
 
 # jitted round executables keyed by (mesh-or-"single", config dataclasses) —
@@ -733,6 +776,22 @@ def find_all(
             round_base = partial(search_round_dp, mesh)
             dp_size = mesh.shape[mesh.axis_names[0]]
 
+    # dense-scene inner-bound raise (impl/scene.hpp:276-282): when the
+    # reference's per-first second-point bound exceeds the static cap,
+    # widen the effective batch (power of two bounds shape churn; the
+    # round cache and AOT cache key on the resulting policy).
+    eff_b2 = policy.num_second_samples
+    if policy.adaptive_second_samples:
+        bound = adaptive_inner_bound(prep, model, policy)
+        if bound > policy.num_second_samples:
+            eff_b2 = min(1 << max(int(bound) - 1, 1).bit_length(),
+                         policy.max_second_samples)
+            policy = dataclasses.replace(
+                policy, num_second_samples=eff_b2,
+                second_pool=max(policy.second_pool, 2 * eff_b2),
+            )
+    stats["num_second_samples_effective"] = eff_b2
+
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
@@ -745,13 +804,21 @@ def find_all(
         mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points,
                               fine_points=policy.fine_model_points)  # host compaction; once per model
 
+    n = prep.cloud.xyz.shape[0]
+    consumed = jnp.zeros(n, bool)
+    fp = jnp.zeros(n, bool)
+    base_key = jax.random.PRNGKey(seed)
+
     # Cache the jitted round across find_all calls: jax.jit keys on function
     # identity, and a fresh ``partial`` per search would re-trace the whole
     # round graph every time (~2s at 131k even with the XLA compile cache
     # warm).  Repeat searches — multi-scene pipelines, find_all_multi's
     # per-model loop, the recall studies — hit the same executable instead.
+    # The key includes the scene/model capacities because a resolved entry
+    # may be an AOT ``Compiled`` (single-signature), not a retraceable jit.
     cache_key = (round_kind, discretization, sample_params, policy,
-                 max_icp_iterations)
+                 max_icp_iterations, n, model.cloud.xyz.shape[0],
+                 model.lut.shape, model.keys.shape)
     round_fn = _ROUND_FN_CACHE.pop(cache_key, None)
     if round_fn is None:
         round_fn = jax.jit(
@@ -763,14 +830,25 @@ def find_all(
                 max_icp_iterations=max_icp_iterations,
             )
         )
+        if round_kind == "single":
+            # resolve through the AOT executable disk cache: a warm process
+            # skips BOTH tracing (~8.6s at 131k) and the erratic remote
+            # backend compile (15-28s observed with the HLO cache "warm") —
+            # the reference has no warmup cliff at all (impl/scene.hpp:146)
+            from triplet_match_tpu.utils import aot
+
+            example = (model, prep, consumed, fp,
+                       jax.random.fold_in(base_key, 0),
+                       jnp.float32(dist_thres), jnp.float32(model_match_factor),
+                       mpack)
+            round_fn = aot.get_or_compile(
+                "search_round", round_fn, example,
+                statics=repr((discretization, sample_params, policy,
+                              max_icp_iterations)),
+            )
     _ROUND_FN_CACHE[cache_key] = round_fn  # (re)insert as most-recent
     while len(_ROUND_FN_CACHE) > _ROUND_FN_CACHE_MAX:
         _ROUND_FN_CACHE.pop(next(iter(_ROUND_FN_CACHE)))
-
-    n = prep.cloud.xyz.shape[0]
-    consumed = jnp.zeros(n, bool)
-    fp = jnp.zeros(n, bool)
-    base_key = jax.random.PRNGKey(seed)
 
     # host-side copies of the static eligibility pieces for bound sizing
     edge_valid_np = np.asarray(prep.tangent_mask & prep.cloud.valid)
