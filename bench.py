@@ -82,20 +82,28 @@ def main(model_points: int | None = None):
             pack_groups, pack_model, poses_to_rows, score_groups_two_phase,
         )
 
-        mpack = pack_model(model, coarse_points=policy.coarse_model_points)
+        mpack = pack_model(model, coarse_points=policy.coarse_model_points,
+                           fine_points=policy.fine_model_points)
         groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
         rows = poses_to_rows(jnp.asarray(ts))
 
         def run():
-            # the driver's scoring path: coarse-model coarse pass + full
-            # rescore of the per-group top poses (the batched early-drop),
-            # at the production policy settings
+            # the driver's scoring path: coarse-model coarse pass + medium
+            # block rescore of the per-group top poses (the batched
+            # early-drop), with EXACTLY the kwargs search_round passes —
+            # the bench must measure the production pipeline, not a stale
+            # variant of it (driver.hypothesize_and_score)
             return score_groups_two_phase(
-                mpack, groups, rows, thres * thres, mode="count", pose_tile=16,
+                mpack, groups, rows, thres * thres, mode=policy.ranking_mode,
+                pose_tile=policy.two_phase_pose_tile,
                 coarse_stride=policy.two_phase_stride,
                 keep_frac=policy.two_phase_keep_frac,
                 coarse_model=policy.two_phase_coarse_model,
                 fine_stride=policy.two_phase_fine_stride,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
+                coarse_linear=policy.two_phase_coarse_linear,
+                fine_coarse=policy.two_phase_fine_coarse,
             )
 
     else:
