@@ -29,6 +29,8 @@ NB = 10  # pre-staged pose batches (rotated per timing iteration)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated config names to run")
     args = ap.parse_args()
 
     import jax
@@ -91,7 +93,13 @@ def main():
         ("coarse128_keep64", dict(base, coarse_points=128, keep_frac=64)),
         ("pt16", dict(base, pose_tile=16)),
         ("pt64", dict(base, pose_tile=64)),
+        ("fine1024", dict(base, fine_points=1024)),
+        ("fine768", dict(base, fine_points=768)),
+        ("keep64_fine768", dict(base, keep_frac=64, fine_points=768)),
     ]
+    if args.only:
+        names = set(args.only.split(","))
+        configs = [c for c in configs if c[0] in names]
 
     for name, cfg in configs:
         mpack = sp.pack_model(model, coarse_points=cfg["coarse_points"],
