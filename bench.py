@@ -67,10 +67,19 @@ def main(model_points: int | None = None):
     )
     prep = prepare_scene(scene, policy)
 
+    # Pre-staged pose batches rotated per timing iteration: constant-input
+    # loops are unreliable through the remote TPU tunnel (ROADMAP 3d3 —
+    # byte-identical repeats sometimes return impossibly fast, sometimes
+    # inflated), so every iteration must see distinct inputs.
+    NB = 8
     rng = np.random.default_rng(0)
     t_inv = np.linalg.inv(np.asarray(t_gt)).astype(np.float32)
-    ts = np.tile(t_inv, (G, HG, 1, 1))
-    ts[..., :3, 3] += rng.normal(0, 0.5, (G, HG, 3)).astype(np.float32)
+    ts_all = []
+    for _ in range(NB):
+        ts = np.tile(t_inv, (G, HG, 1, 1))
+        ts[..., :3, 3] += rng.normal(0, 0.5, (G, HG, 3)).astype(np.float32)
+        ts_all.append(ts)
+    ts = ts_all[0]
     n = prep.cloud.xyz.shape[0]
     nbr_idx = jnp.asarray(rng.integers(0, n_scene, (G, K)).astype(np.int32))
     nbr_valid = jnp.ones((G, K), bool)
@@ -85,9 +94,10 @@ def main(model_points: int | None = None):
         mpack = pack_model(model, coarse_points=policy.coarse_model_points,
                            fine_points=policy.fine_model_points)
         groups = pack_groups(prep.cloud, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
-        rows = poses_to_rows(jnp.asarray(ts))
+        rows_all = [jax.device_put(poses_to_rows(jnp.asarray(t))) for t in ts_all]
+        rows = rows_all[0]
 
-        def run():
+        def run(rows=rows):
             # the driver's scoring path: coarse-model coarse pass + medium
             # block rescore of the per-group top poses (the batched
             # early-drop), with EXACTLY the kwargs search_round passes —
@@ -114,7 +124,9 @@ def main(model_points: int | None = None):
         ni = jnp.repeat(nbr_idx, HG, axis=0)
         nv = jnp.repeat(nbr_valid, HG, axis=0)
 
-        def run():
+        rows_all = None
+
+        def run(rows=None):
             return scorer(
                 model, prep.cloud, prep.tangent_mask, consumed, ts_flat, ni, nv,
                 jnp.float32(3.0),
@@ -122,11 +134,15 @@ def main(model_points: int | None = None):
 
     out = run()
     jax.block_until_ready(out)  # compile + warmup
+    if on_tpu:
+        # second warmup on a different batch guards against lazy constant
+        # folding of batch 0
+        jax.block_until_ready(run(rows_all[1]))
 
     iters = 10 if on_tpu else 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
+    for i in range(iters):
+        out = run(rows_all[i % NB]) if on_tpu else run()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

@@ -17,6 +17,8 @@ over multiple origins and uses the visible count as the denominator of a
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,7 +62,15 @@ def _visible_against(targets, t_lambda, dirs, origin, occ, occ_valid, point_radi
     return hit
 
 
-@jax.jit
+def _ray_bundle(origin, model_xyz, model_valid, transform):
+    """Transformed targets + unit ray directions for one origin."""
+    targets = model_xyz @ transform[:3, :3].T + transform[:3, 3]
+    delta = targets - origin
+    t_lambda = jnp.linalg.norm(delta, axis=-1)
+    dirs = delta / jnp.maximum(t_lambda[:, None], 1e-12)
+    return targets, t_lambda, dirs
+
+
 def _cone_keep_mask(origin, targets, t_lambda, dirs, model_valid,
                     scene_xyz, scene_valid, point_radius):
     """Conservative occluder cull for the ray bundle origin -> targets.
@@ -98,6 +108,54 @@ def _cone_keep_mask(origin, targets, t_lambda, dirs, model_valid,
     return keep
 
 
+@jax.jit
+def _keep_count(origin, model_xyz, model_valid, transform, scene_xyz,
+                scene_valid, point_radius):
+    """Survivor count of the cone cull — the only host sync of a pruned cast."""
+    targets, t_lambda, dirs = _ray_bundle(origin, model_xyz, model_valid, transform)
+    keep = _cone_keep_mask(origin, targets, t_lambda, dirs, model_valid,
+                           scene_xyz, scene_valid, point_radius)
+    return jnp.sum(keep.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _cast_brute(origin, model_xyz, model_valid, transform, scene_xyz,
+                scene_valid, point_radius, depth_tolerance, block):
+    targets, t_lambda, dirs = _ray_bundle(origin, model_xyz, model_valid, transform)
+    hit_model = _visible_against(targets, t_lambda, dirs, origin, targets,
+                                 model_valid, point_radius, depth_tolerance,
+                                 block=min(block, targets.shape[0]))
+    hit_scene = _visible_against(targets, t_lambda, dirs, origin, scene_xyz,
+                                 scene_valid, point_radius, depth_tolerance,
+                                 block=block)
+    return model_valid & ~(hit_model | hit_scene)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "block"))
+def _cast_pruned(origin, model_xyz, model_valid, transform, scene_xyz,
+                 scene_valid, point_radius, depth_tolerance, cap, block):
+    """One program: cone cull -> device-side compaction -> exact sweep.
+
+    ``cap`` (static) bounds the compacted occluder set; the caller sizes it
+    from :func:`_keep_count` rounded to the next power of two, so recompiles
+    are bounded at ~log2(N) shapes and the scene never round-trips the host.
+    """
+    targets, t_lambda, dirs = _ray_bundle(origin, model_xyz, model_valid, transform)
+    keep = _cone_keep_mask(origin, targets, t_lambda, dirs, model_valid,
+                           scene_xyz, scene_valid, point_radius)
+    n = scene_xyz.shape[0]
+    idx = jnp.nonzero(keep, size=cap, fill_value=n)[0]
+    occ = jnp.take(scene_xyz, jnp.minimum(idx, n - 1), axis=0)
+    occ_valid = idx < n
+    hit_model = _visible_against(targets, t_lambda, dirs, origin, targets,
+                                 model_valid, point_radius, depth_tolerance,
+                                 block=min(block, targets.shape[0]))
+    hit_scene = _visible_against(targets, t_lambda, dirs, origin, occ,
+                                 occ_valid, point_radius, depth_tolerance,
+                                 block=min(block, cap))
+    return model_valid & ~(hit_model | hit_scene)
+
+
 def cast_visibility(
     origin: jax.Array,
     model_xyz: jax.Array,
@@ -130,35 +188,21 @@ def cast_visibility(
     power of two, bounding recompiles at ~log2(N) shapes.
     """
     origin = jnp.asarray(origin, jnp.float32)
-    targets = model_xyz @ transform[:3, :3].T + transform[:3, 3]
-    delta = targets - origin
-    t_lambda = jnp.linalg.norm(delta, axis=-1)
-    dirs = delta / jnp.maximum(t_lambda[:, None], 1e-12)
+    point_radius = jnp.float32(point_radius)
+    depth_tolerance = jnp.float32(depth_tolerance)
 
     if prune:
-        keep = np.asarray(_cone_keep_mask(
-            origin, targets, t_lambda, dirs, model_valid,
-            scene_xyz, scene_valid, point_radius,
-        ))
-        idx = np.where(keep)[0]
-        cap = max(int(2 ** np.ceil(np.log2(max(idx.size, 1)))), block)
+        count = int(_keep_count(origin, model_xyz, model_valid, transform,
+                                scene_xyz, scene_valid, point_radius))
+        cap = max(int(2 ** np.ceil(np.log2(max(count, 1)))), block)
         cap = min(cap, int(scene_xyz.shape[0]))
         if cap < scene_xyz.shape[0]:
-            occ = jnp.zeros((cap, 3), jnp.float32).at[: idx.size].set(
-                jnp.asarray(np.asarray(scene_xyz)[idx])
-            )
-            occ_valid = jnp.zeros(cap, bool).at[: idx.size].set(True)
-            scene_xyz, scene_valid = occ, occ_valid
+            return _cast_pruned(origin, model_xyz, model_valid, transform,
+                                scene_xyz, scene_valid, point_radius,
+                                depth_tolerance, cap=cap, block=block)
 
-    hit_model = _visible_against(
-        targets, t_lambda, dirs, origin, targets, model_valid,
-        point_radius, depth_tolerance, block=block,
-    )
-    hit_scene = _visible_against(
-        targets, t_lambda, dirs, origin, scene_xyz, scene_valid,
-        point_radius, depth_tolerance, block=block,
-    )
-    return model_valid & ~(hit_model | hit_scene)
+    return _cast_brute(origin, model_xyz, model_valid, transform, scene_xyz,
+                       scene_valid, point_radius, depth_tolerance, block=block)
 
 
 def cast_visibility_multi(origins, model_xyz, model_valid, transform,
