@@ -114,6 +114,7 @@ def main(model_points: int | None = None):
                 negative_scores=policy.negative_scores,
                 coarse_linear=policy.two_phase_coarse_linear,
                 fine_coarse=policy.two_phase_fine_coarse,
+                fine_strict=policy.two_phase_fine_strict,
             )
 
     else:

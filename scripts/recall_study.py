@@ -67,6 +67,8 @@ def main():
                     help="survivor ranking on the medium 4-D block")
     ap.add_argument("--coarse-linear", action="store_true",
                     help="pose-linearized coarse kernel")
+    ap.add_argument("--fine-strict", action="store_true",
+                    help="strict-gate PRIMARY ranking in the fine pass")
     ap.add_argument("--no-isolate", action="store_true",
                     help="run all settings in this process (default: one "
                          "subprocess per setting — the TPU runtime degrades "
@@ -88,6 +90,8 @@ def main():
                 cmd += ["--fine-coarse"]
             if args.coarse_linear:
                 cmd += ["--coarse-linear"]
+            if args.fine_strict:
+                cmd += ["--fine-strict"]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 print(json.dumps({"setting": s.strip(), "FAILED": res.returncode}),
@@ -140,6 +144,8 @@ def main():
             extra["two_phase_fine_coarse"] = True
         if args.coarse_linear:
             extra["two_phase_coarse_linear"] = True
+        if args.fine_strict:
+            extra["two_phase_fine_strict"] = True
         policy = dataclasses.replace(
             base, two_phase_stride=stride, two_phase_keep_frac=keep,
             two_phase_coarse_model=(kind == "coarse"),
@@ -164,7 +170,8 @@ def main():
                 f" cpts={args.coarse_points}" if args.coarse_points else "") + (
                 f" fpts={args.fine_points}" if args.fine_points else "") + (
                 " fc" if args.fine_coarse else "") + (
-                " lin" if args.coarse_linear else ""),
+                " lin" if args.coarse_linear else "") + (
+                " fstrict" if args.fine_strict else ""),
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,

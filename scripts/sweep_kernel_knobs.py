@@ -96,6 +96,8 @@ def main():
         ("fine1024", dict(base, fine_points=1024)),
         ("fine768", dict(base, fine_points=768)),
         ("keep64_fine768", dict(base, keep_frac=64, fine_points=768)),
+        ("fine1536", dict(base, fine_points=1536)),
+        ("fine512", dict(base, fine_points=512)),
     ]
     if args.only:
         names = set(args.only.split(","))
@@ -117,6 +119,7 @@ def main():
                 negative_scores=policy.negative_scores,
                 coarse_linear=policy.two_phase_coarse_linear,
                 fine_coarse=policy.two_phase_fine_coarse,
+                fine_strict=cfg.get("fine_strict", policy.two_phase_fine_strict),
             )
 
         try:

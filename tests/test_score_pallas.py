@@ -546,3 +546,50 @@ def test_fine_coarse_survivor_ranking(setup):
     assert matches
     dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
     assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.6
+
+
+def test_fine_strict_primary_ranking(setup):
+    """strict_primary swaps the ranking keys: floor(score) becomes the
+    STRICT-gate count and the inflated no-miss count moves to the
+    fractional tiebreak (config.two_phase_fine_strict — decouples phase-2
+    pose precision from the fine block's coverage radius, ROADMAP 3d6)."""
+    from triplet_match_tpu.search.score_pallas import (
+        score_groups_coarse, score_groups_two_phase,
+    )
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres = 3.0 * float(model.resolution)
+    t2 = thres * thres
+    mpack = pack_model(model, coarse_points=128)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    k = groups.shape[2]
+
+    t2c = (thres + float(mpack.coarse_slack)) ** 2
+    s_def = np.asarray(score_groups_coarse(
+        mpack, groups, rows, t2c, t2, pose_tile=4, interpret=True))
+    s_str = np.asarray(score_groups_coarse(
+        mpack, groups, rows, t2c, t2, pose_tile=4, interpret=True,
+        strict_primary=True))
+    inflated = np.floor(s_def)
+    strict = np.round((s_def - inflated) * (k + 1))
+    # swapped composition: strict + inflated/(k+1)
+    np.testing.assert_allclose(
+        s_str, strict + inflated / (k + 1), rtol=0, atol=1e-3)
+    # the strict count never exceeds the inflated count
+    assert (strict <= inflated).all()
+
+    # through the pipeline: phase-1 keeps are unchanged and the near-true
+    # best pose per group still wins under the strict-primary fine ranking
+    s_ref, _ = score_groups_two_phase(
+        mpack, groups, rows, t2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True, fine_coarse=True,
+    )
+    s_fs, _ = score_groups_two_phase(
+        mpack, groups, rows, t2, pose_tile=4, coarse_stride=4, keep_frac=4,
+        interpret=True, fine_coarse=True, fine_strict=True,
+    )
+    s_ref, s_fs = np.asarray(s_ref), np.asarray(s_fs)
+    np.testing.assert_array_equal(s_ref >= 0, s_fs >= 0)
+    np.testing.assert_array_equal(np.argmax(s_ref, axis=1), np.argmax(s_fs, axis=1))

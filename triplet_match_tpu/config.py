@@ -194,7 +194,18 @@ class SearchPolicy:
     # with the strict-gate tiebreak; without the tiebreak one seed drifted
     # to 5.9mm — the inflated gate blurs poses within the slack band).
     two_phase_fine_coarse: bool = True
-    fine_model_points: int = 1536  # medium block size (pack_model fine_points)
+    fine_model_points: int = 768  # medium block size (pack_model fine_points)
+    # rank phase-2 survivors by the STRICT-gate count (the reference's own
+    # ranking statistic, impl/scene.hpp:468-475) with the inflated no-miss
+    # count demoted to the tiebreak.  The inflated-primary ordering blurs
+    # with the fine block's coverage radius (fine blocks below 1536 reps
+    # measured mm-scale pose drift in the touching-fog recall study —
+    # ROADMAP 3d6); strict-primary decouples pose precision from the fine
+    # block size, which is what lets fine_model_points sit at 768 (10-seed
+    # touching fog: 10/10, max 0.33mm/0.06deg — identical precision to the
+    # 1536 block, ~8% faster pipeline).  Phase 1 always keeps the inflated
+    # no-miss primary (it decides drops).
+    two_phase_fine_strict: bool = True
     # poses per kernel program: per-program fixed costs (operand DMA
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)

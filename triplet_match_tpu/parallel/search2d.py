@@ -275,6 +275,7 @@ def search_round_2d(
                 negative_scores=policy.negative_scores,
                 coarse_linear=policy.two_phase_coarse_linear,
                 fine_coarse=policy.two_phase_fine_coarse,
+                fine_strict=policy.two_phase_fine_strict,
             )
         else:
             s_pl, _ = sp.score_groups_pallas(

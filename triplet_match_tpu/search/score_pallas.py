@@ -532,6 +532,8 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     thres2 = params_ref[0, 0]
     off = params_ref[0, 1]
     thres2_strict = params_ref[0, 2]
+    w_inf = params_ref[0, 4]
+    w_str = params_ref[0, 5]
 
     sc = scene_ref[0]  # [8, K]
     px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
@@ -581,11 +583,14 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
         dmin = jnp.min(d2, axis=1, keepdims=True)  # [PT*K, 1]
         any_hit = (dmin <= thres2).astype(jnp.float32)
         strict = (dmin <= thres2_strict).astype(jnp.float32)
-        # score = inflated count + strict count / (K+1): the inflated
-        # (no-miss) count stays the PRIMARY key; the strict count only
-        # breaks ties toward precise poses (the inflated gate blurs
-        # everything within the slack band to equal scores)
-        any_hit = any_hit + strict / jnp.float32(k + 1)
+        # score = w_inf * inflated count + w_str * strict count.  Default
+        # (w_inf=1, w_str=1/(K+1)): the inflated (no-miss) count is the
+        # PRIMARY key and the strict count only breaks ties toward precise
+        # poses (the inflated gate blurs everything within the slack band
+        # to equal scores).  strict_primary swaps the weights — the strict
+        # count ranks first (the reference's own ranking statistic,
+        # impl/scene.hpp:468-475) with the inflated count as tiebreak.
+        any_hit = w_inf * any_hit + w_str * strict
 
     counts = [jnp.sum(any_hit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
     j = pl.program_id(1)
@@ -593,7 +598,7 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
-                                              "reduce", "block"))
+                                              "reduce", "block", "strict_primary"))
 def score_groups_coarse(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
@@ -606,6 +611,7 @@ def score_groups_coarse(
     mxu_precision: str = "default",
     reduce: str = "max",
     block: str = "coarse",
+    strict_primary: bool = False,
 ):
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
@@ -637,6 +643,14 @@ def score_groups_coarse(
     one touching-fog seed at 5.9mm vs 0.35mm with the tiebreak).  With
     ``dist_thres2_strict=None`` the strict gate equals the inflated one
     and the score is count*(1 + 1/(K+1)) — ``floor`` recovers the count.
+
+    ``strict_primary=True`` swaps the two keys: score = count_strict +
+    count_inflated/(K+1).  Use when the pass is a pure re-RANKER of an
+    already-kept survivor set (the driver's phase 2) — the strict count is
+    the reference's own ranking statistic and does not blur with the
+    block's coverage radius; the no-miss inflated count is demoted to the
+    tiebreak.  Do NOT use for a pass that decides drops (phase 1), where
+    the no-miss primary is the contract.
     """
     g, _, k = groups.shape
     hg = poses.shape[1]
@@ -647,9 +661,11 @@ def score_groups_coarse(
 
     t2 = jnp.asarray(dist_thres2, jnp.float32)
     t2s = t2 if dist_thres2_strict is None else jnp.asarray(dist_thres2_strict, jnp.float32)
+    frac = jnp.float32(1.0 / (k + 1))
+    w_inf, w_str = (frac, jnp.float32(1.0)) if strict_primary else (jnp.float32(1.0), frac)
     params = jnp.stack(
-        [t2, mpack.kind_off, t2s, jnp.float32(0.0)]
-    ).reshape(1, 4)
+        [t2, mpack.kind_off, t2s, jnp.float32(0.0), w_inf, w_str]
+    ).reshape(1, 6)
     poses = poses.at[..., 9:12].add(-mpack.center)
 
     hgt = hg // pose_tile
@@ -660,7 +676,7 @@ def score_groups_coarse(
         kernel,
         grid=(g, hgt),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((8, nc), lambda i, j: (0, 0)),
@@ -703,6 +719,8 @@ def _coarse_linear_kernel(params_ref, w_ref, sblk_ref, mc_ref, count_ref, *,
     """
     t2 = params_ref[0, 0]
     t2s = params_ref[0, 2]
+    w_inf = params_ref[0, 4]
+    w_str = params_ref[0, 5]
     wcat = w_ref[0, 0]  # [8, PT*C]
     a = lax.dot_general(
         wcat, sblk_ref[0], (((1,), (0,)), ((), ())),
@@ -721,10 +739,10 @@ def _coarse_linear_kernel(params_ref, w_ref, sblk_ref, mc_ref, count_ref, *,
         # the compiler allows)
         d2 = d2.astype(jnp.bfloat16)
     # any-hit as min-then-compare (identical to max of the hit mask);
-    # strict-gate tiebreak as in _coarse_kernel
+    # weighted inflated/strict combination as in _coarse_kernel
     dmin = jnp.min(d2, axis=1, keepdims=True).astype(jnp.float32)  # [PT*K, 1]
-    anyhit = (dmin <= t2).astype(jnp.float32)
-    anyhit = anyhit + (dmin <= t2s).astype(jnp.float32) / jnp.float32(k + 1)
+    anyhit = w_inf * (dmin <= t2).astype(jnp.float32) \
+        + w_str * (dmin <= t2s).astype(jnp.float32)
     counts = [jnp.sum(anyhit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
     j = pl.program_id(1)
     count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
@@ -734,7 +752,7 @@ _LIN_C = 7  # statics channels: [x, y, z, p2_hi, p2_lo, 1, w]
 
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
-                                              "d2_bf16", "block"))
+                                              "d2_bf16", "block", "strict_primary"))
 def score_groups_coarse_linear(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
@@ -747,6 +765,7 @@ def score_groups_coarse_linear(
     mxu_precision: str = "default",
     d2_bf16: bool = False,
     block: str = "coarse",
+    strict_primary: bool = False,
 ):
     """Linearized drop-in for :func:`score_groups_coarse` (same contract:
     optimistic 4-D hit counts [G, Hg] against the coarse block, same
@@ -769,9 +788,11 @@ def score_groups_coarse_linear(
 
     t2 = jnp.asarray(dist_thres2, jnp.float32)
     t2s = t2 if dist_thres2_strict is None else jnp.asarray(dist_thres2_strict, jnp.float32)
+    frac = jnp.float32(1.0 / (k + 1))
+    w_inf, w_str = (frac, jnp.float32(1.0)) if strict_primary else (jnp.float32(1.0), frac)
     params = jnp.stack(
-        [t2, jnp.float32(0.0), t2s, jnp.float32(0.0)]
-    ).reshape(1, 4)
+        [t2, jnp.float32(0.0), t2s, jnp.float32(0.0), w_inf, w_str]
+    ).reshape(1, 6)
     poses = poses.at[..., 9:12].add(-mpack.center)
 
     # --- per-point statics -> blockdiag(S), one per group ---
@@ -817,7 +838,7 @@ def score_groups_coarse_linear(
         kernel,
         grid=(g, hgt),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8, pose_tile * c), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, pose_tile * c, pose_tile * k), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((8, nc), lambda i, j: (0, 0)),
@@ -833,7 +854,8 @@ def score_groups_coarse_linear(
     jax.jit,
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
                      "coarse_model", "fine_stride", "weighted_distance",
-                     "negative_scores", "coarse_linear", "fine_coarse"),
+                     "negative_scores", "coarse_linear", "fine_coarse",
+                     "fine_strict"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -853,6 +875,7 @@ def score_groups_two_phase(
     negative_scores: bool = False,
     coarse_linear: bool = False,
     fine_coarse: bool = False,
+    fine_strict: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -918,6 +941,7 @@ def score_groups_two_phase(
         s2 = fine_fn(
             mpack, fine_groups, poses_kept, t2f, dist_thres2,
             pose_tile=pose_tile, interpret=interpret, block="fine",
+            strict_primary=fine_strict,
         )
         c2 = s2.astype(jnp.int32)
     else:
