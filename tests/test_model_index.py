@@ -184,3 +184,24 @@ def test_jfa_lut_matches_brute(box_model):
     # class (queries sit up to half a voxel from the center they resolve at)
     assert np.mean(lut_jfa.reshape(-1) == lut_brute.reshape(-1)) > 0.95
     assert excess.max() < 0.5 * voxel
+
+
+def test_voxel_grid_capped_for_dense_models():
+    """A resolution-derived grid above the HBM budget shrinks isotropically
+    (the reference's unbounded impl/model.hpp:41-65 sizing would build a
+    multi-gigavoxel LUT for densely sampled models — ROADMAP edge-dense
+    study)."""
+    from triplet_match_tpu.index.model import _MAX_LUT_VOXELS, _voxel_grid_setup
+
+    lower = np.zeros(3, np.float32)
+    upper = np.ones(3, np.float32)
+    # resolution 0.001 -> 2000 voxels/axis -> 8.1e9 total, far over budget
+    extents, to_voxel = _voxel_grid_setup(lower, upper, 0.001, margin=5)
+    assert float(np.prod(extents)) <= _MAX_LUT_VOXELS * 1.01
+    # grid stays isotropic for a cubic bbox and the affine matches extents
+    assert max(extents) - min(extents) <= 1
+    for ax in range(3):
+        assert abs(to_voxel[ax, ax] - (extents[ax] - 10)) < 2
+    # small models are untouched by the cap
+    e2, _ = _voxel_grid_setup(lower, upper, 0.02, margin=5)
+    assert all(abs(int(e) - 110) <= 1 for e in e2)

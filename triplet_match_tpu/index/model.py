@@ -50,6 +50,19 @@ _INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 # the O(V * N) brute term starts dominating model compilation
 _LUT_JFA_THRESHOLD = 2_000_000
 
+# Total-voxel budget for the LUT grid.  The reference sizes the grid purely
+# from resolution (impl/model.hpp:41-65), so a densely sampled model (e.g. a
+# 20k-point wireframe lattice: resolution ~ edge spacing) explodes the
+# volume — measured 1088^3 = 1.29G voxels = a 5.2GB LUT whose jump-flood
+# build needs ~40G of HBM temps (edge-dense study, ROADMAP).  Above this
+# budget the per-axis extents shrink uniformly (voxels grow isotropically)
+# until the volume fits.  Semantics: the LUT seeds finish_find/ICP
+# correspondences and voxel_query; a coarser seed only loosens those
+# starting points — the Pallas scorer's exact-NN ranking and the tight
+# ICP polish are LUT-free, and voxel_query_exact re-ranks true distances.
+# 2^27 voxels = 512MB LUT, ~4.2G JFA peak — fits one v5e chip comfortably.
+_MAX_LUT_VOXELS = 134_217_728
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -123,6 +136,13 @@ def _voxel_grid_setup(lower, upper, resolution_val: float, margin: int):
     """
     rng = upper - lower
     ext = np.maximum(rng / (0.5 * resolution_val), 1.0)
+    # isotropic shrink when the resolution-derived volume exceeds the HBM
+    # budget (dense models; see _MAX_LUT_VOXELS)
+    for _ in range(8):  # fixed-point: the +2*margin term shifts the solve
+        total = float(np.prod(ext + 2.0 * margin))
+        if total <= _MAX_LUT_VOXELS:
+            break
+        ext = np.maximum(ext / (total / _MAX_LUT_VOXELS) ** (1.0 / 3.0), 1.0)
     extents = (ext + 2.0 * margin).astype(np.int32)
     eps = 1e-12
     scale = np.where(rng < 1e-5, 1.0, ext / np.maximum(rng, eps))
