@@ -268,6 +268,10 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--fine-stride", type=int, default=None,
                     help="override policy.two_phase_fine_stride (diagnostics)")
+    ap.add_argument("--fine-points", type=int, default=None,
+                    help="override policy.fine_model_points (diagnostics)")
+    ap.add_argument("--fine-strict", choices=["on", "off"], default=None,
+                    help="override policy.two_phase_fine_strict (diagnostics)")
     ap.add_argument("--no-isolate", action="store_true",
                     help="run all configs in this process (default: one subprocess per config — the TPU runtime degrades after a large program)")
     args = ap.parse_args()
@@ -281,6 +285,10 @@ def main():
                    "--no-isolate"] + (["--small"] if args.small else [])
             if args.fine_stride is not None:
                 cmd += ["--fine-stride", str(args.fine_stride)]
+            if args.fine_points is not None:
+                cmd += ["--fine-points", str(args.fine_points)]
+            if args.fine_strict is not None:
+                cmd += ["--fine-strict", args.fine_strict]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 _emit(f"{c}_FAILED", returncode=res.returncode)
@@ -288,10 +296,14 @@ def main():
 
     _setup_jax()
     wanted = set(wanted)
-    overrides = (
-        {"two_phase_fine_stride": args.fine_stride}
-        if args.fine_stride is not None else None
-    )
+    overrides = {}
+    if args.fine_stride is not None:
+        overrides["two_phase_fine_stride"] = args.fine_stride
+    if args.fine_points is not None:
+        overrides["fine_model_points"] = args.fine_points
+    if args.fine_strict is not None:
+        overrides["two_phase_fine_strict"] = args.fine_strict == "on"
+    overrides = overrides or None
 
     if 1 in wanted:
         config1_plane(args.small)
