@@ -34,6 +34,11 @@ VARIANTS = {
     "fine1536": {"fine_model_points": 1536},
     # no fine_coarse: survivors rescored on the FULL pack (r2-late style)
     "fullfine": {"two_phase_fine_coarse": False},
+    # not a ranking variant: ICP-polish straight from the ground-truth pose.
+    # If THIS lands mm-off, the scene's fog biases the correspondence fit
+    # itself (hard scene); if it lands sub-mm, the regression is hypothesis
+    # selection/ranking.
+    "gtpolish": {},
 }
 
 
@@ -92,6 +97,28 @@ def main():
     )
     prep = prepare_scene(scene, policy)
     jax.block_until_ready(prep.tangent_mask)
+
+    if args.variant == "gtpolish":
+        import jax.numpy as jnp
+
+        from triplet_match_tpu.core.transforms import invert_rigid
+        from triplet_match_tpu.refine.icp import icp_refine, tight_polish
+
+        consumed = jnp.zeros(scene.xyz.shape[0], bool)
+        t_sm = jnp.asarray(invert_rigid(jnp.asarray(t_gt)))
+        res = icp_refine(model, prep.cloud, prep.tangent_mask, consumed,
+                         t_sm, 3.0, 15, tight_iterations=0)
+        dt_rel, dr_rel = _sym_delta(np.asarray(invert_rigid(res.transform)), t_gt)
+        t_tight = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                               res.transform, 3.0, 2)
+        dt_ti, dr_ti = _sym_delta(np.asarray(invert_rigid(t_tight)), t_gt)
+        print(json.dumps({
+            "variant": "gtpolish", "points": args.points,
+            "relaxed_mm": round(dt_rel * 1000, 4), "relaxed_deg": round(dr_rel, 4),
+            "tight_mm": round(dt_ti * 1000, 4), "tight_deg": round(dr_ti, 4),
+            "corrs": int(res.corrs.count),
+        }), flush=True)
+        return
 
     t0 = time.perf_counter()
     matches = find_all(model, scene, prep=prep, dist_thres=3.0,
