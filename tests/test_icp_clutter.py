@@ -1,0 +1,133 @@
+"""Tight-polish robustness against crossing clutter sheets.
+
+A dense plane patch crossing a box face biases the reference-faithful
+relaxed ICP (``scene::icp_``'s 2x gate, impl/scene.hpp:373) by ~10 mm: the
+sheet's in-gate band of points is asymmetric around the face, so the
+point-to-point fit drags the pose toward the sheet.  The tight polish
+(strict gate, ``policy.tight_icp_iterations`` Kabsch steps, optional
+orientation weights) must recover sub-mm — this is the config-4 /
+500k-dense-fog failure mode at CPU scale.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+from triplet_match_tpu.core.cloud import PointCloud
+from triplet_match_tpu.core.transforms import invert_rigid, pose_delta
+from triplet_match_tpu.index.model import compile_model
+from triplet_match_tpu.io.synthetic import (
+    make_box_model,
+    make_plane_patch,
+    rotation_matrix,
+)
+from triplet_match_tpu.refine.icp import icp_refine, tight_polish
+from triplet_match_tpu.search.driver import prepare_scene
+
+DISC = DiscretizationParams()
+SAMPLE = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+POLICY = SearchPolicy()
+
+
+@pytest.fixture(scope="module")
+def sheet_scene():
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+
+    rng = np.random.default_rng(7)
+    r_inst = rotation_matrix([0.3, 1.0, 0.2], 1.1)
+    i_xyz = (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+
+    # dense sheet (2x the face density) crossing the +z face at 25 deg
+    p_xyz, p_n, _ = make_plane_patch(n=4000, size=(1.5, 1.5), seed=42, border_edges=False)
+    rr = rotation_matrix([1.0, 0.3, 0.0], np.deg2rad(25.0))
+    p_xyz = ((p_xyz @ rr.T + np.array([0.0, 0.0, 0.30], np.float32)) @ r_inst.T).astype(np.float32)
+    p_n = ((p_n @ rr.T) @ r_inst.T).astype(np.float32)
+
+    scene = PointCloud.from_arrays(
+        np.concatenate([i_xyz, p_xyz]),
+        np.concatenate([nrm @ r_inst.T, p_n]),
+        np.concatenate([tan @ r_inst.T, np.zeros_like(p_xyz)]),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    # hypothesis-like start: gt perturbed by ~15 mm + 1.5 deg (what a
+    # coarse-ranked pose looks like entering ICP).  From EXACT gt the
+    # relaxed loop's count-non-shrink stop fires immediately and hides the
+    # bias; from a realistic start it walks into the sheet-biased basin
+    # (the biased pose has the higher relaxed count).
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = rotation_matrix([0.5, -0.2, 0.8], np.deg2rad(1.5))
+    pert[:3, 3] = [0.010, -0.008, 0.006]
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    return model, prep, consumed, t0, t_gt
+
+
+def _delta_mm(t_scene_to_model, t_gt):
+    dt, dr = pose_delta(np.asarray(invert_rigid(t_scene_to_model)), t_gt)
+    return float(dt) * 1000.0, float(dr)
+
+
+def test_relaxed_icp_biased_by_crossing_sheet(sheet_scene):
+    """Documents the failure mode: the 2x-gate loop alone lands mm-off."""
+    model, prep, consumed, t0, t_gt = sheet_scene
+    res = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                     3.0, 15, tight_iterations=0)
+    dt_mm, _ = _delta_mm(res.transform, t_gt)
+    assert dt_mm > 3.0  # the bias is real (measured ~10 mm)
+
+
+def test_tight_polish_recovers_at_policy_defaults(sheet_scene):
+    model, prep, consumed, t0, t_gt = sheet_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    t_pol = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                         relaxed.transform, 3.0,
+                         iterations=POLICY.tight_icp_iterations,
+                         orientation_weight=POLICY.tight_orientation_weight)
+    dt_mm, dr = _delta_mm(t_pol, t_gt)
+    assert dt_mm < 1.0 and dr < 0.05
+
+
+def test_two_iterations_insufficient(sheet_scene):
+    """The round-2 hardcoded 2 iterations under-converge on this scene —
+    the reason tight_icp_iterations is a policy knob at default 6."""
+    model, prep, consumed, t0, t_gt = sheet_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    t_pol = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                         relaxed.transform, 3.0, iterations=2,
+                         orientation_weight=False)
+    dt2, _ = _delta_mm(t_pol, t_gt)
+    t_pol6 = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                          relaxed.transform, 3.0, iterations=6,
+                          orientation_weight=False)
+    dt6, _ = _delta_mm(t_pol6, t_gt)
+    assert dt6 < dt2 * 0.5  # measured 1.8 mm -> 0.45 mm
+
+
+def test_orientation_weight_harmless_without_clutter():
+    """On a clean scene the orientation weights must not degrade the fit."""
+    xyz, nrm, tan = make_box_model(n_edge=300, n_face=900, size=(1.0, 0.8, 0.6), seed=1)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+    rng = np.random.default_rng(3)
+    r_inst = rotation_matrix([0.1, 0.7, 0.4], 0.8)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+    scene = PointCloud.from_arrays(
+        (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32),
+        (nrm @ r_inst.T).astype(np.float32),
+        (tan @ r_inst.T).astype(np.float32),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(t_gt)))
+    for orient in (False, True):
+        t_pol = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                             t0, 3.0, iterations=POLICY.tight_icp_iterations,
+                             orientation_weight=orient)
+        dt_mm, dr = _delta_mm(t_pol, t_gt)
+        assert dt_mm < 0.5 and dr < 0.05

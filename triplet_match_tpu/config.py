@@ -218,6 +218,21 @@ class SearchPolicy:
     # geometry where point-to-point slides tangentially
     icp_point_to_plane: bool = False
 
+    # tight-polish (strict-gate) Kabsch iterations after the relaxed ICP.
+    # The relaxed loop's 2x gate admits crossing clutter sheets whose
+    # asymmetric in-gate band biases the fit by ~10 mm; each tight
+    # iteration roughly halves the residual bias until the in-gate floor
+    # (CPU study, tests/test_icp_clutter.py: 1-sheet bias 10.3 mm relaxed
+    # -> 4.2 / 1.8 / 0.88 / 0.57 / 0.48 mm at 1/2/3/4/6 iterations).
+    # 2 (the round-2 value) under-converges on dense scenes where several
+    # sheets cross the instance (config 4 at 500k measured 5-9 mm).
+    tight_icp_iterations: int = 6
+    # weight tight-polish correspondences by |scene_dir . model_dir|
+    # (the scorer's own orientation term, impl/scene.hpp:430): crossing
+    # sheets meet the surface at an angle, so their corrs are downweighted
+    # by the dihedral cosine; true corrs (aligned dirs) keep ~full weight
+    tight_orientation_weight: bool = True
+
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()
 DEFAULT_DISCRETIZATION = DiscretizationParams()

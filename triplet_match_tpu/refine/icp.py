@@ -118,6 +118,7 @@ def tight_polish(
     negative_scores: bool = False,
     point_to_plane: bool = False,
     samples_on_all: bool = True,
+    orientation_weight: bool = False,
     axis_name: str | None = None,
 ) -> jax.Array:
     """Extra Kabsch steps at the UNRELAXED threshold with exact
@@ -132,6 +133,14 @@ def tight_polish(
     Unconditional per step: the relaxed corr count slightly *prefers* the
     clutter-biased pose, so count-gating would reject the better fit.
     Degenerate (<3 corr) steps are no-ops.
+
+    ``orientation_weight``: weight each correspondence by
+    ``|scene_dir . model_dir|`` (the scorer's own orientation term,
+    impl/scene.hpp:430 — tangent for edge points, normal for surface).
+    Clutter sheets crossing the model surface at an angle are downweighted
+    by the dihedral cosine, true corrs keep ~full weight; measured ~20%
+    lower residual bias on the crossing-sheet study
+    (tests/test_icp_clutter.py).
     """
 
     def _ff(t, thres, exact=False):
@@ -142,6 +151,14 @@ def tight_polish(
     def tight_body(_, t):
         corrs = _ff(t, dist_thres, exact=True)
         w = corrs.valid.astype(jnp.float32)
+        if orientation_weight:
+            midx_o = corrs.model_idx
+            ref = jnp.where(tangent_mask[:, None], scene.tangent, scene.normal)
+            tref = ref @ t[:3, :3].T
+            mtan_o = model.cloud.tangent[midx_o]
+            is_tan_o = jnp.linalg.norm(mtan_o, axis=-1) > 0.7
+            ref_n = jnp.where(is_tan_o[:, None], mtan_o, model.cloud.normal[midx_o])
+            w = w * jnp.abs(jnp.sum(tref * ref_n, axis=-1))
         if point_to_plane:
             # hybrid Gauss-Newton: point-to-plane for surface corrs,
             # perpendicular-to-tangent for edge corrs — unbiased by the

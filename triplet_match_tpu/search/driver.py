@@ -512,6 +512,8 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
         t_pol = jax.vmap(
             lambda t: tight_polish(
                 model, cloud, tangent_mask, consumed, t, dist_thres,
+                iterations=policy.tight_icp_iterations,
+                orientation_weight=policy.tight_orientation_weight,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 point_to_plane=policy.icp_point_to_plane,
