@@ -34,6 +34,9 @@ VARIANTS = {
     "fine1536": {"fine_model_points": 1536},
     # no fine_coarse: survivors rescored on the FULL pack (r2-late style)
     "fullfine": {"two_phase_fine_coarse": False},
+    # pre-fix tight polish (rounds 2-3 behavior): reproduces the regression
+    # if the crossing-sheet ICP bias is the mechanism
+    "tight2": {"tight_icp_iterations": 2, "tight_orientation_weight": False},
     # not a ranking variant: ICP-polish straight from the ground-truth pose.
     # If THIS lands mm-off, the scene's fog biases the correspondence fit
     # itself (hard scene); if it lands sub-mm, the regression is hypothesis
@@ -105,19 +108,27 @@ def main():
         from triplet_match_tpu.refine.icp import icp_refine, tight_polish
 
         consumed = jnp.zeros(scene.xyz.shape[0], bool)
-        t_sm = jnp.asarray(invert_rigid(jnp.asarray(t_gt)))
+        # hypothesis-like start: exact gt would trip the count-non-shrink
+        # stop immediately and hide the relaxed loop's clutter bias
+        pert = np.eye(4, dtype=np.float32)
+        pert[:3, :3] = rotation_matrix([0.5, -0.2, 0.8], np.deg2rad(1.5))
+        pert[:3, 3] = [0.010, -0.008, 0.006]
+        t_sm = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
         res = icp_refine(model, prep.cloud, prep.tangent_mask, consumed,
                          t_sm, 3.0, 15, tight_iterations=0)
         dt_rel, dr_rel = _sym_delta(np.asarray(invert_rigid(res.transform)), t_gt)
-        t_tight = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
-                               res.transform, 3.0, 2)
-        dt_ti, dr_ti = _sym_delta(np.asarray(invert_rigid(t_tight)), t_gt)
-        print(json.dumps({
-            "variant": "gtpolish", "points": args.points,
-            "relaxed_mm": round(dt_rel * 1000, 4), "relaxed_deg": round(dr_rel, 4),
-            "tight_mm": round(dt_ti * 1000, 4), "tight_deg": round(dr_ti, 4),
-            "corrs": int(res.corrs.count),
-        }), flush=True)
+        row = {"variant": "gtpolish", "points": args.points,
+               "relaxed_mm": round(dt_rel * 1000, 4),
+               "relaxed_deg": round(dr_rel, 4),
+               "corrs": int(res.corrs.count)}
+        for tag, it, ow in [("tight2", 2, False), ("tight6ow", 6, True)]:
+            t_tight = tight_polish(model, prep.cloud, prep.tangent_mask,
+                                   consumed, res.transform, 3.0, iterations=it,
+                                   orientation_weight=ow)
+            dt_ti, dr_ti = _sym_delta(np.asarray(invert_rigid(t_tight)), t_gt)
+            row[f"{tag}_mm"] = round(dt_ti * 1000, 4)
+            row[f"{tag}_deg"] = round(dr_ti, 4)
+        print(json.dumps(row), flush=True)
         return
 
     t0 = time.perf_counter()
