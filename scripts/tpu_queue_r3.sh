@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-3 TPU evidence queue: waits for the tunnel, then runs each step
+# sequentially with its own timeout and log.  Steps continue on failure
+# (a wedge mid-queue must not block later evidence).
+LOGDIR=/tmp/r3q
+mkdir -p "$LOGDIR"
+cd /root/repo
+
+wait_tpu() {
+  for i in $(seq 1 200); do
+    if timeout 90 python -c "
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/tmtpu_jax_cache')
+import jax.numpy as jnp
+assert int(jnp.ones(8).sum()) == 8
+" >/dev/null 2>&1; then
+      echo "[queue] tunnel up (attempt $i) $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+      return 0
+    fi
+    echo "[queue] tpu wait $i $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+    sleep 60
+  done
+  return 1
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name="$1" to="$2"; shift 2
+  wait_tpu || { echo "[queue] gave up before $name" >> "$LOGDIR/queue.log"; return 1; }
+  echo "[queue] START $name $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+  timeout "$to" "$@" > "$LOGDIR/$name.log" 2>&1
+  echo "[queue] END $name rc=$? $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+}
+
+step bisect    7200 python scripts/bisect_config4.py
+step recall    5400 python scripts/recall_study.py --seeds 10
+step configs  10800 python scripts/run_baseline_configs.py --configs 1,2,3,4,5,6
+step bench     1800 python bench.py
+echo "[queue] ALL DONE $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
