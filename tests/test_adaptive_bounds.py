@@ -314,3 +314,30 @@ def test_subset_restricts_pair_table_not_scoring(box):
     # a point OUTSIDE the subset still resolves through voxel_query
     out_pt = np.asarray(xyz)[-1]
     assert sub.voxel_query(out_pt) == full.voxel_query(out_pt)
+
+
+def test_fine_rescore_density_switch(inner_fixture, monkeypatch):
+    """Fog-density-adaptive survivor rescore (config.adaptive_fine_rescore):
+    fog-dominated diameter balls switch the two-phase survivor rescore to
+    the full pack (and keep 1/8) — the 500k config-4 fix; low-density
+    scenes keep the fast fine_coarse block."""
+    from triplet_match_tpu.search import driver as drv
+
+    model, sparse, _, _ = inner_fixture
+    pol = SearchPolicy(num_first_samples=32, num_second_samples=8,
+                       query_cap=4, score_neighbors=256, finalists=2,
+                       max_rounds=1, adaptive_second_samples=False,
+                       scorer="pallas", pallas_interpret=True)
+    find_all(model, sparse, model_match_factor=0.5, policy=pol, seed=0)
+    assert LAST_SEARCH_STATS["fine_rescore_full"] is False
+    assert LAST_SEARCH_STATS["ball_population_q95"] > 0
+
+    # force the fog-dominated regime through the shared density statistic
+    monkeypatch.setattr(drv, "ball_population_quantile", lambda *a, **k: 1.0e9)
+    find_all(model, sparse, model_match_factor=0.5, policy=pol, seed=0)
+    assert LAST_SEARCH_STATS["fine_rescore_full"] is True
+
+    # opting out keeps the block rescore even in the dense regime
+    pol_off = dataclasses.replace(pol, adaptive_fine_rescore=False)
+    find_all(model, sparse, model_match_factor=0.5, policy=pol_off, seed=0)
+    assert LAST_SEARCH_STATS["fine_rescore_full"] is False

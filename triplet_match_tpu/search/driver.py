@@ -604,10 +604,36 @@ def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
     return min(bound, max(int(n_scene), 1))
 
 
+def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
+                             sample: int = 256, ref_sample: int = 65536,
+                             quantile: float = 0.95, seed: int = 0) -> float:
+    """Estimated ``quantile``-percentile population of the model-diameter
+    ball around eligible first points (the reference's
+    ``radius_search_inclusive`` count, impl/scene.hpp:276).
+
+    Host-side, one dense [sample, ref_sample] pass on a scene subsample —
+    the shared density statistic behind ``adaptive_inner_bound`` and the
+    fog-density fine-rescore switch in ``find_all``.  Returns 0.0 when the
+    scene has no eligible edge points.
+    """
+    rng = np.random.default_rng(seed)
+    edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
+    if edge_ok.size == 0:
+        return 0.0
+    valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
+    firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
+    sub = (valid_idx if valid_idx.size <= ref_sample
+           else rng.choice(valid_idx, size=ref_sample, replace=False))
+    xyz = np.asarray(prep.cloud.xyz)
+    d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
+    in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
+    return float(np.quantile(in_ball * valid_idx.size, quantile))
+
+
 def adaptive_inner_bound(prep: "ScenePrep", model: CompiledModel,
                          policy: SearchPolicy, *, sample: int = 256,
                          ref_sample: int = 65536, quantile: float = 0.95,
-                         seed: int = 0) -> int:
+                         seed: int = 0, ball_q: float | None = None) -> int:
     """Per-first adaptive inner sampling bound (impl/scene.hpp:276-282).
 
     The reference sizes second-point effort per first point as
@@ -626,18 +652,12 @@ def adaptive_inner_bound(prep: "ScenePrep", model: CompiledModel,
     default (it never lowers: a masked-out sample under static shapes
     saves nothing and only costs recall).
     """
-    rng = np.random.default_rng(seed)
-    edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
-    if edge_ok.size == 0:
+    if ball_q is None:
+        ball_q = ball_population_quantile(
+            prep, model, sample=sample, ref_sample=ref_sample,
+            quantile=quantile, seed=seed)
+    if ball_q <= 0.0:
         return policy.min_sample_count
-    valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
-    firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
-    sub = (valid_idx if valid_idx.size <= ref_sample
-           else rng.choice(valid_idx, size=ref_sample, replace=False))
-    xyz = np.asarray(prep.cloud.xyz)
-    d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
-    in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
-    ball_q = float(np.quantile(in_ball * valid_idx.size, quantile))
     if policy.force_exhaustive:
         return max(int(math.ceil(ball_q)), policy.min_sample_count)
     n_all = max(int(model.n_all), 1)
@@ -784,8 +804,11 @@ def find_all(
     # widen the effective batch (power of two bounds shape churn; the
     # round cache and AOT cache key on the resulting policy).
     eff_b2 = policy.num_second_samples
+    ball_q = None
+    if policy.adaptive_second_samples or policy.adaptive_fine_rescore:
+        ball_q = ball_population_quantile(prep, model)
     if policy.adaptive_second_samples:
-        bound = adaptive_inner_bound(prep, model, policy)
+        bound = adaptive_inner_bound(prep, model, policy, ball_q=ball_q)
         if bound > policy.num_second_samples:
             eff_b2 = min(1 << max(int(bound) - 1, 1).bit_length(),
                          policy.max_second_samples)
@@ -798,6 +821,22 @@ def find_all(
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
+
+    # fog-density-adaptive survivor rescore (see config.adaptive_fine_rescore):
+    # a fog-dominated diameter ball blurs the fine_coarse block ranking past
+    # what the strict-primary count can resolve — rescore survivors on the
+    # full pack and keep 1/8 instead of 1/policy.two_phase_keep_frac.
+    stats["fine_rescore_full"] = False
+    if (policy.adaptive_fine_rescore and use_pallas and policy.two_phase_scoring
+            and policy.two_phase_fine_coarse and ball_q is not None
+            and ball_q > policy.fine_full_rescore_ratio * policy.score_neighbors):
+        policy = dataclasses.replace(
+            policy, two_phase_fine_coarse=False,
+            two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
+        )
+        stats["fine_rescore_full"] = True
+    if ball_q is not None:
+        stats["ball_population_q95"] = int(ball_q)
     if mesh is not None and len(mesh.axis_names) >= 2:
         use_pallas = True  # the 2-D round scores through the fused kernel
     mpack = None
