@@ -37,6 +37,10 @@ VARIANTS = {
     # pre-fix tight polish (rounds 2-3 behavior): reproduces the regression
     # if the crossing-sheet ICP bias is the mechanism
     "tight2": {"tight_icp_iterations": 2, "tight_orientation_weight": False},
+    # fog-density switch disabled: expected to reproduce the original
+    # ~4-9 mm failure (the CPU f32 interpret bisect reproduced 4.04 mm with
+    # the pre-switch defaults at this seed — ROADMAP 15)
+    "noswitch": {"adaptive_fine_rescore": False},
     # not a ranking variant: ICP-polish straight from the ground-truth pose.
     # If THIS lands mm-off, the scene's fog biases the correspondence fit
     # itself (hard scene); if it lands sub-mm, the regression is hypothesis
