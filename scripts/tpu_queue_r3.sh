@@ -31,8 +31,9 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "[queue] END $name rc=$? $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
 }
 
+step bench     1800 python bench.py
 step bisect    7200 python scripts/bisect_config4.py
 step recall    5400 python scripts/recall_study.py --seeds 10
 step configs  10800 python scripts/run_baseline_configs.py --configs 1,2,3,4,5,6
-step bench     1800 python bench.py
+step bench2    1800 python bench.py
 echo "[queue] ALL DONE $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
