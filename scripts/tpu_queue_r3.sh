@@ -34,6 +34,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 step bench     1800 python bench.py
 step bisect    7200 python scripts/bisect_config4.py
 step recall    5400 python scripts/recall_study.py --seeds 10
+step recall500k 7200 python scripts/recall_study.py --seeds 10 --points 500000
 step configs  10800 python scripts/run_baseline_configs.py --configs 1,2,3,4,5,6
 step bench2    1800 python bench.py
 echo "[queue] ALL DONE $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
