@@ -31,6 +31,10 @@ VARIANTS = {
     "keep16": {"two_phase_keep_frac": 16},
     # round-2's wider coarse block (less gate inflation)
     "coarse512": {"coarse_model_points": 512},
+    # narrower coarse blocks (MORE gate inflation): candidate throughput
+    # flips — must hold sub-mm here before any default change
+    "coarse192": {"coarse_model_points": 192},
+    "coarse128": {"coarse_model_points": 128},
     "fine1536": {"fine_model_points": 1536},
     # no fine_coarse: survivors rescored on the FULL pack (r2-late style)
     "fullfine": {"two_phase_fine_coarse": False},
@@ -53,14 +57,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default=None)
     ap.add_argument("--points", type=int, default=500_000)
+    ap.add_argument("--interpret", action="store_true",
+                    help="production Pallas ranking in f32 interpret mode "
+                         "(CPU pre-validation; exonerates/implicates ranking "
+                         "logic independent of bf16/hardware)")
     args = ap.parse_args()
 
     if args.variant is None:
         import subprocess
 
         for v in VARIANTS:
-            res = subprocess.run([sys.executable, os.path.abspath(__file__),
-                                  "--variant", v, "--points", str(args.points)])
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--variant", v, "--points", str(args.points)]
+            if args.interpret:
+                cmd.append("--interpret")
+            res = subprocess.run(cmd)
             if res.returncode != 0:
                 print(json.dumps({"variant": v, "FAILED": res.returncode}), flush=True)
         return
@@ -83,7 +94,10 @@ def main():
 
     disc = DiscretizationParams()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
-    policy = dataclasses.replace(SearchPolicy(), **VARIANTS[args.variant])
+    overrides = dict(VARIANTS[args.variant])
+    if args.interpret:
+        overrides.update(scorer="pallas", pallas_interpret=True)
+    policy = dataclasses.replace(SearchPolicy(), **overrides)
 
     # identical to run_baseline_configs config 4 (one model-A instance)
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
@@ -144,6 +158,8 @@ def main():
 
     row = {"variant": args.variant, "points": args.points,
            "matches": len(matches), "search_s": round(t_search, 2)}
+    if args.interpret:
+        row["interpret"] = True
     if matches:
         m = matches[0]
         dt, dr = _sym_delta(m.transform, t_gt)

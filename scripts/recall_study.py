@@ -69,6 +69,10 @@ def main():
                     help="pose-linearized coarse kernel")
     ap.add_argument("--fine-strict", action="store_true",
                     help="strict-gate PRIMARY ranking in the fine pass")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the production Pallas ranking in f32 interpret "
+                         "mode (CPU pre-validation of ranking-knob flips; "
+                         "the protocol behind the *_cpu_interp RESULTS rows)")
     ap.add_argument("--no-isolate", action="store_true",
                     help="run all settings in this process (default: one "
                          "subprocess per setting — the TPU runtime degrades "
@@ -92,6 +96,8 @@ def main():
                 cmd += ["--coarse-linear"]
             if args.fine_strict:
                 cmd += ["--fine-strict"]
+            if args.interpret:
+                cmd += ["--interpret"]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 print(json.dumps({"setting": s.strip(), "FAILED": res.returncode}),
@@ -146,6 +152,9 @@ def main():
             extra["two_phase_coarse_linear"] = True
         if args.fine_strict:
             extra["two_phase_fine_strict"] = True
+        if args.interpret:
+            extra["scorer"] = "pallas"
+            extra["pallas_interpret"] = True
         policy = dataclasses.replace(
             base, two_phase_stride=stride, two_phase_keep_frac=keep,
             two_phase_coarse_model=(kind == "coarse"),
@@ -171,7 +180,8 @@ def main():
                 f" fpts={args.fine_points}" if args.fine_points else "") + (
                 " fc" if args.fine_coarse else "") + (
                 " lin" if args.coarse_linear else "") + (
-                " fstrict" if args.fine_strict else ""),
+                " fstrict" if args.fine_strict else "") + (
+                " interp" if args.interpret else ""),
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,
