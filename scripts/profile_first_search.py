@@ -72,7 +72,12 @@ def main():
     jax.block_until_ready(prep.tangent_mask)
     t = stamp("prepare_scene", t)
 
-    mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points)
+    # match find_all's pack EXACTLY (fine_points included): md_fine's shape
+    # is part of the round's jit/AOT signature, so packing with a different
+    # fine block would trace+warm a non-production executable and the
+    # find_all_after_warm stage would silently pay a full compile
+    mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points,
+                          fine_points=policy.fine_model_points)
     jax.block_until_ready(mpack.md_coarse)
     t = stamp("pack_model", t)
 

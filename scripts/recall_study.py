@@ -63,12 +63,15 @@ def main():
                     help="coarse block size (policy.coarse_model_points)")
     ap.add_argument("--fine-points", type=int, default=None,
                     help="medium block size (policy.fine_model_points)")
-    ap.add_argument("--fine-coarse", action="store_true",
-                    help="survivor ranking on the medium 4-D block")
+    ap.add_argument("--fine-coarse", choices=["on", "off"], default=None,
+                    help="survivor ranking on the medium 4-D block "
+                         "(default: the policy default, which is ON — "
+                         "pass off to gate the knob)")
     ap.add_argument("--coarse-linear", action="store_true",
                     help="pose-linearized coarse kernel")
-    ap.add_argument("--fine-strict", action="store_true",
-                    help="strict-gate PRIMARY ranking in the fine pass")
+    ap.add_argument("--fine-strict", choices=["on", "off"], default=None,
+                    help="strict-gate PRIMARY ranking in the fine pass "
+                         "(default: the policy default, which is ON)")
     ap.add_argument("--interpret", action="store_true",
                     help="run the production Pallas ranking in f32 interpret "
                          "mode (CPU pre-validation of ranking-knob flips; "
@@ -90,12 +93,12 @@ def main():
                 cmd += ["--coarse-points", str(args.coarse_points)]
             if args.fine_points is not None:
                 cmd += ["--fine-points", str(args.fine_points)]
-            if args.fine_coarse:
-                cmd += ["--fine-coarse"]
+            if args.fine_coarse is not None:
+                cmd += ["--fine-coarse", args.fine_coarse]
             if args.coarse_linear:
                 cmd += ["--coarse-linear"]
-            if args.fine_strict:
-                cmd += ["--fine-strict"]
+            if args.fine_strict is not None:
+                cmd += ["--fine-strict", args.fine_strict]
             if args.interpret:
                 cmd += ["--interpret"]
             res = subprocess.run(cmd)
@@ -146,12 +149,12 @@ def main():
             extra["coarse_model_points"] = args.coarse_points
         if args.fine_points is not None:
             extra["fine_model_points"] = args.fine_points
-        if args.fine_coarse:
-            extra["two_phase_fine_coarse"] = True
+        if args.fine_coarse is not None:
+            extra["two_phase_fine_coarse"] = args.fine_coarse == "on"
         if args.coarse_linear:
             extra["two_phase_coarse_linear"] = True
-        if args.fine_strict:
-            extra["two_phase_fine_strict"] = True
+        if args.fine_strict is not None:
+            extra["two_phase_fine_strict"] = args.fine_strict == "on"
         if args.interpret:
             extra["scorer"] = "pallas"
             extra["pallas_interpret"] = True
@@ -178,9 +181,9 @@ def main():
             "setting": f"{kind}:{stride}:{keep}:{fine}" + (
                 f" cpts={args.coarse_points}" if args.coarse_points else "") + (
                 f" fpts={args.fine_points}" if args.fine_points else "") + (
-                " fc" if args.fine_coarse else "") + (
+                f" fc={args.fine_coarse}" if args.fine_coarse else "") + (
                 " lin" if args.coarse_linear else "") + (
-                " fstrict" if args.fine_strict else "") + (
+                f" fstrict={args.fine_strict}" if args.fine_strict else "") + (
                 " interp" if args.interpret else ""),
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,

@@ -593,3 +593,68 @@ def test_fine_strict_primary_ranking(setup):
     s_ref, s_fs = np.asarray(s_ref), np.asarray(s_fs)
     np.testing.assert_array_equal(s_ref >= 0, s_fs >= 0)
     np.testing.assert_array_equal(np.argmax(s_ref, axis=1), np.argmax(s_fs, axis=1))
+
+
+def test_exact_semantics_bypass_two_phase_screen(setup, monkeypatch):
+    """weighted_distance / negative_scores must route AROUND the two-phase
+    screen: phase-1's optimistic hit-count keep bounds a kept pose's
+    signed/weighted score from above but not below, so a dropped pose's
+    signed score could outrank a kept one's.  The driver scores such
+    configs through the single-phase epilogue path (exact configured
+    semantics over every pose — impl/scene.hpp:468-475)."""
+    import dataclasses
+
+    from triplet_match_tpu.io.synthetic import embed_in_scene, make_box_model
+    from triplet_match_tpu.search import driver as drv
+    from triplet_match_tpu.search import score_pallas as sp
+
+    model, prep, *_ = setup
+    policy = dataclasses.replace(
+        POLICY,
+        num_first_samples=16, num_second_samples=8, query_cap=8,
+        score_neighbors=256, finalists=2, max_rounds=2,
+        scorer="pallas", pallas_interpret=True, two_phase_scoring=True,
+        negative_scores=True,
+    )
+    called = {"two_phase": 0}
+    orig = sp.score_groups_two_phase
+
+    def spy(*a, **k):
+        called["two_phase"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sp, "score_groups_two_phase", spy)
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=360, size=(1.0, 0.8, 0.6), seed=0)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=200, seed=7)
+    drv.clear_round_cache()
+    matches = drv.find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=5, seed=13,
+    )
+    assert called["two_phase"] == 0  # routed to the single-phase path
+    assert matches
+
+
+def test_coarse_mxu_reduce_rejects_strict_knobs(setup):
+    """reduce='mxu' (the measured-negative MXU hit reduction) has no
+    per-point min, so the strict-gate tiebreak / strict-primary weights
+    cannot apply — it must raise, not silently mislabel the scores."""
+    import pytest
+
+    from triplet_match_tpu.search.score_pallas import score_groups_coarse
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres = 3.0 * float(model.resolution)
+    mpack = pack_model(model, coarse_points=128)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    t2c = (thres + float(mpack.coarse_slack)) ** 2
+    with pytest.raises(ValueError, match="mxu"):
+        score_groups_coarse(mpack, groups, rows, t2c, thres * thres,
+                            pose_tile=4, interpret=True, reduce="mxu",
+                            strict_primary=True)
+    with pytest.raises(ValueError, match="mxu"):
+        score_groups_coarse(mpack, groups, rows, t2c, thres * thres,
+                            pose_tile=4, interpret=True, reduce="mxu")

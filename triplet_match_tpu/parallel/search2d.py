@@ -262,7 +262,12 @@ def search_round_2d(
 
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
         okg = hyp_ok.reshape(b1, b2 * qcap)
-        if policy.early_drop and policy.two_phase_scoring and ks >= 256:
+        # non-default scoring semantics bypass the two-phase screen — its
+        # optimistic-count keep is not ranking-safe under signed/weighted
+        # scores (see driver.hypothesize_and_score)
+        exact_semantics = policy.weighted_distance or policy.negative_scores
+        if (policy.early_drop and policy.two_phase_scoring and ks >= 256
+                and not exact_semantics):
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres, okg,
                 mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import weakref
 from functools import partial
 from typing import NamedTuple
 
@@ -129,8 +130,6 @@ def _grid_edge_ratios_mesh(cloud: cl.PointCloud, qidx: jax.Array, *,
 
     from triplet_match_tpu.ops import gridnn
 
-    import math
-
     ndev = math.prod(mesh.shape.values())
     all_axes = tuple(mesh.axis_names)
     joint = P(all_axes)  # dim 0 sharded over every axis jointly
@@ -200,8 +199,6 @@ def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
         c = min(chunk, max(-(-qidx.size // 256) * 256, 256))
         stride = c
         if mesh is not None:
-            import math
-
             stride = c * math.prod(mesh.shape.values())
         qp = -(-qidx.size // stride) * stride
         qidx_p = np.zeros(qp, np.int32)
@@ -345,7 +342,17 @@ def hypothesize_and_score(
         groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r,
                                 samples_on_all=policy.samples_on_all)
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
-        if policy.early_drop and policy.two_phase_scoring and ks >= 256:
+        # weighted_distance / negative_scores route around the two-phase
+        # screen: phase 1 keeps top OPTIMISTIC hit counts, which bounds a
+        # kept pose's signed/weighted score from above but not from below —
+        # a dropped pose's signed score could outrank a kept one's (e.g. few
+        # clean hits vs many hits drowned by wrong-kind penalties).  Both
+        # knobs are constexpr-false upstream (impl/scene.hpp:27-28); when a
+        # user flips them the single-phase epilogue path scores every pose
+        # with the exact configured semantics.
+        exact_semantics = policy.weighted_distance or policy.negative_scores
+        if (policy.early_drop and policy.two_phase_scoring and ks >= 256
+                and not exact_semantics):
             s_pl, _ = sp.score_groups_two_phase(
                 mpack, groups, rows, thres * thres,
                 hyp_ok.reshape(b1, b2 * qcap),
@@ -604,6 +611,10 @@ def adaptive_outer_bound(n_model: int, n_left: int, n_scene: int,
     return min(bound, max(int(n_scene), 1))
 
 
+_BALL_Q_CACHE: dict = {}  # id(xyz) -> (weakref(xyz), params_key, value)
+_BALL_Q_CACHE_MAX = 16
+
+
 def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
                              sample: int = 256, ref_sample: int = 65536,
                              quantile: float = 0.95, seed: int = 0) -> float:
@@ -615,19 +626,34 @@ def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
     the shared density statistic behind ``adaptive_inner_bound`` and the
     fog-density fine-rescore switch in ``find_all``.  Returns 0.0 when the
     scene has no eligible edge points.
+
+    Memoized on the identity of ``prep.cloud.xyz`` (plus the parameters):
+    the statistic is deterministic, and repeat searches against one prep —
+    find_all_multi's per-model loop, multi-instance extraction, the recall
+    studies — would otherwise pay the dense host pass on every call.
     """
+    pkey = (float(model.diameter), sample, ref_sample, quantile, seed)
+    ck = id(prep.cloud.xyz)
+    hit = _BALL_Q_CACHE.get(ck)
+    if hit is not None and hit[0]() is prep.cloud.xyz and hit[1] == pkey:
+        return hit[2]
     rng = np.random.default_rng(seed)
     edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
     if edge_ok.size == 0:
-        return 0.0
-    valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
-    firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
-    sub = (valid_idx if valid_idx.size <= ref_sample
-           else rng.choice(valid_idx, size=ref_sample, replace=False))
-    xyz = np.asarray(prep.cloud.xyz)
-    d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
-    in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
-    return float(np.quantile(in_ball * valid_idx.size, quantile))
+        out = 0.0
+    else:
+        valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
+        firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
+        sub = (valid_idx if valid_idx.size <= ref_sample
+               else rng.choice(valid_idx, size=ref_sample, replace=False))
+        xyz = np.asarray(prep.cloud.xyz)
+        d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
+        in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
+        out = float(np.quantile(in_ball * valid_idx.size, quantile))
+    _BALL_Q_CACHE[ck] = (weakref.ref(prep.cloud.xyz), pkey, out)
+    while len(_BALL_Q_CACHE) > _BALL_Q_CACHE_MAX:
+        _BALL_Q_CACHE.pop(next(iter(_BALL_Q_CACHE)))
+    return out
 
 
 def adaptive_inner_bound(prep: "ScenePrep", model: CompiledModel,
@@ -858,9 +884,17 @@ def find_all(
     # per-model loop, the recall studies — hit the same executable instead.
     # The key includes the scene/model capacities because a resolved entry
     # may be an AOT ``Compiled`` (single-signature), not a retraceable jit.
+    # mpack's leaf shapes are part of the signature too: md_edge/md_surf/
+    # md_fine widths derive from the model's edge-vs-surface split (padded
+    # to 128), which the capacities alone do not capture — two models with
+    # equal point counts but different splits must not share a Compiled.
+    mpack_sig = None if mpack is None else tuple(
+        (l.shape, l.dtype.name) for l in jax.tree_util.tree_leaves(mpack)
+        if hasattr(l, "shape")
+    )
     cache_key = (round_kind, discretization, sample_params, policy,
                  max_icp_iterations, n, model.cloud.xyz.shape[0],
-                 model.lut.shape, model.keys.shape)
+                 model.lut.shape, model.keys.shape, mpack_sig)
     round_fn = _ROUND_FN_CACHE.pop(cache_key, None)
     if round_fn is None:
         round_fn = jax.jit(

@@ -652,6 +652,14 @@ def score_groups_coarse(
     tiebreak.  Do NOT use for a pass that decides drops (phase 1), where
     the no-miss primary is the contract.
     """
+    if reduce == "mxu" and (strict_primary or dist_thres2_strict is not None):
+        # the mxu reduction (kept as a measured-negative record, ROADMAP 3d)
+        # computes plain inflated any-hit counts only — it has no per-point
+        # min, so the strict gate / strict-primary weights cannot apply
+        raise ValueError(
+            "reduce='mxu' does not support the strict-gate tiebreak or "
+            "strict_primary ranking; use reduce='max'"
+        )
     g, _, k = groups.shape
     hg = poses.shape[1]
     md_block = mpack.md_coarse if block == "coarse" else mpack.md_fine
@@ -903,10 +911,15 @@ def score_groups_two_phase(
 
     ``weighted_distance`` / ``negative_scores`` reach the phase-2 rescore
     (score_groups_pallas epilogue — impl/scene.hpp:468-475), so the
-    survivor RANKING honors both knobs.  Phase 1 stays an optimistic plain
-    hit-count screen either way: its job is only to not drop poses the
-    full gate would keep, and both knobs can only *shrink* a pose's score,
-    never grow another's past the inflated-count bound.
+    SURVIVOR ranking honors both knobs.  Phase 1, however, keeps top
+    OPTIMISTIC hit counts, which bounds a kept pose's signed/weighted
+    score from above but not from below: a dropped pose's signed score can
+    exceed a kept pose's (few clean hits vs many hits drowned by
+    wrong-kind penalties), so the two-phase keep is NOT ranking-safe under
+    these knobs.  The search driver therefore routes such configs to the
+    single-phase epilogue path (driver.hypothesize_and_score); callers
+    using this function directly with either knob accept the screen's
+    optimism.
     """
     g, hg = poses.shape[:2]
     keep = max(pose_tile, -(-(hg // keep_frac) // pose_tile) * pose_tile)

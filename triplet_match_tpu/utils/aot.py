@@ -34,7 +34,7 @@ import tempfile
 
 _CACHE_ENV = "TMTPU_AOT_CACHE"
 _DISABLE_ENV = "TMTPU_AOT_DISABLE"
-_DEFAULT_DIR = "/tmp/tmtpu_aot_cache"
+_LEGACY_DIR = "/tmp/tmtpu_aot_cache"
 _MAX_ENTRIES = 64  # LRU sweep bound (executables are MBs, not GBs)
 
 _SRC_HASH: str | None = None
@@ -66,7 +66,34 @@ def enabled() -> bool:
 
 
 def cache_dir() -> str:
-    return os.environ.get(_CACHE_ENV, _DEFAULT_DIR)
+    """Cache directory: ``$TMTPU_AOT_CACHE``, else a per-uid /tmp path.
+
+    Entries are loaded with ``pickle`` (that is the
+    ``serialize_executable`` wire format), so on a multi-user host the
+    directory must not be attacker-creatable: the default is suffixed
+    with the uid, and :func:`_dir_is_trusted` refuses directories owned
+    by someone else.  The un-suffixed legacy path is honored only when
+    it already exists and is ours (keeps existing warm caches valid).
+    """
+    env = os.environ.get(_CACHE_ENV)
+    if env:
+        return env
+    try:
+        st = os.stat(_LEGACY_DIR)
+        if st.st_uid == os.getuid():
+            return _LEGACY_DIR
+    except OSError:
+        pass
+    return f"{_LEGACY_DIR}_{os.getuid()}"
+
+
+def _dir_is_trusted(path: str) -> bool:
+    """True iff ``path`` is owned by us and not group/other-writable."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
 
 
 def _source_hash() -> str:
@@ -137,6 +164,8 @@ def load(key: str):
         _MEM[key] = hit  # refresh LRU position
         return hit
     path = _path(key)
+    if not _dir_is_trusted(cache_dir()):
+        return None  # never unpickle from a directory someone else owns
     try:
         with open(path, "rb") as fh:
             blob, in_tree, out_tree = pickle.load(fh)
@@ -166,7 +195,10 @@ def store(key: str, compiled) -> None:
         from jax.experimental import serialize_executable as se
 
         blob, in_tree, out_tree = se.serialize(compiled)
-        os.makedirs(cache_dir(), exist_ok=True)
+        os.makedirs(cache_dir(), mode=0o700, exist_ok=True)
+        if not _dir_is_trusted(cache_dir()):
+            _warn_once("cache dir not owned by this user; refusing to store")
+            return
         path = _path(key)
         fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
         with os.fdopen(fd, "wb") as fh:

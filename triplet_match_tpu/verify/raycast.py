@@ -186,12 +186,22 @@ def cast_visibility(
     cone/scene volume ratio at identical output (the cull is a necessary
     condition, never sufficient).  Survivor capacity is padded to the next
     power of two, bounding recompiles at ~log2(N) shapes.
+
+    The pruned path sizes the compacted occluder buffer on the HOST (one
+    device sync for the survivor count), so it cannot run under an outer
+    ``jit``/``vmap`` trace; traced inputs automatically fall back to the
+    brute sweep, which is pure JAX.  Call un-jitted (the sub-programs are
+    jitted internally) to get the broad phase.
     """
     origin = jnp.asarray(origin, jnp.float32)
     point_radius = jnp.float32(point_radius)
     depth_tolerance = jnp.float32(depth_tolerance)
 
-    if prune:
+    if prune and not any(
+        isinstance(a, jax.core.Tracer)
+        for a in (origin, model_xyz, model_valid, transform, scene_xyz,
+                  scene_valid)
+    ):
         count = int(_keep_count(origin, model_xyz, model_valid, transform,
                                 scene_xyz, scene_valid, point_radius))
         cap = max(int(2 ** np.ceil(np.log2(max(count, 1)))), block)
