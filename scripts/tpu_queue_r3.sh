@@ -1,14 +1,19 @@
 #!/bin/bash
-# Round-3 TPU evidence queue: waits for the tunnel, then runs each step
+# Round-3 TPU evidence queue (v2): waits for the tunnel, then runs each step
 # sequentially with its own timeout and log.  Steps continue on failure
 # (a wedge mid-queue must not block later evidence).
+#
+# v2 wait strategy: the tunnel outage of Aug 17-18 showed killed probe
+# clients MIGHT leave stale session grants, so probe gently — a LONG
+# per-probe timeout (240s, never kills a slow-but-live claim) and a 6min
+# sleep between attempts (lets any stale lease expire between probes).
 LOGDIR=/tmp/r3q
 mkdir -p "$LOGDIR"
 cd /root/repo
 
 wait_tpu() {
   for i in $(seq 1 200); do
-    if timeout 90 python -c "
+    if timeout 240 python -c "
 import jax
 jax.config.update('jax_compilation_cache_dir', '/tmp/tmtpu_jax_cache')
 import jax.numpy as jnp
@@ -18,7 +23,7 @@ assert int(jnp.ones(8).sum()) == 8
       return 0
     fi
     echo "[queue] tpu wait $i $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
-    sleep 60
+    sleep 360
   done
   return 1
 }
