@@ -69,6 +69,19 @@ class PointCloud:
         normal = np.asarray(normal, np.float32)
         tangent = np.asarray(tangent, np.float32)
         valid = np.asarray(valid, bool)
+        # finite-sanitize up front (reference: impl/model.hpp:24-30): rows
+        # with NaN/inf in any field are invalidated AND zeroed so the
+        # arithmetic masking idioms downstream stay NaN-safe (finite_filter)
+        finite = (
+            np.isfinite(xyz).all(axis=-1)
+            & np.isfinite(normal).all(axis=-1)
+            & np.isfinite(tangent).all(axis=-1)
+        )
+        if not finite.all():
+            xyz = np.where(finite[:, None], xyz, 0.0).astype(np.float32)
+            normal = np.where(finite[:, None], normal, 0.0).astype(np.float32)
+            tangent = np.where(finite[:, None], tangent, 0.0).astype(np.float32)
+            valid = valid & finite
         cap = capacity or n
         if cap < n:
             raise ValueError(f"capacity {cap} < point count {n}")
@@ -92,13 +105,27 @@ def finite_filter(cloud: PointCloud) -> PointCloud:
     """Invalidate points with non-finite position/normal/tangent.
 
     Mirrors the subset finite-filter at /root/reference/include/impl/model.hpp:24-30.
+
+    Non-finite rows are also ZEROED, not just masked: downstream ops mask
+    invalid points arithmetically (``d2 + inf_penalty``, ``score * w``),
+    and NaN defeats both (``NaN + inf = NaN``, ``NaN * 0 = NaN``).  With
+    the coordinates sanitized here, every masking idiom in the package is
+    NaN-safe without per-op special cases (invalid rows' values carry no
+    meaning — padding rows are already 0).
     """
     finite = (
         jnp.all(jnp.isfinite(cloud.xyz), axis=-1)
         & jnp.all(jnp.isfinite(cloud.normal), axis=-1)
         & jnp.all(jnp.isfinite(cloud.tangent), axis=-1)
     )
-    return dataclasses.replace(cloud, valid=cloud.valid & finite)
+    f = finite[:, None]
+    return dataclasses.replace(
+        cloud,
+        xyz=jnp.where(f, cloud.xyz, 0.0),
+        normal=jnp.where(f, cloud.normal, 0.0),
+        tangent=jnp.where(f, cloud.tangent, 0.0),
+        valid=cloud.valid & finite,
+    )
 
 
 def bbox(cloud: PointCloud) -> tuple[jax.Array, jax.Array]:
