@@ -18,10 +18,7 @@ Two shardings, mirroring SURVEY §2's parallelism table:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 

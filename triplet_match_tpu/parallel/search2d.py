@@ -40,7 +40,6 @@ Structure of one round (per device, under shard_map):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

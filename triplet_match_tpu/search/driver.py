@@ -808,7 +808,7 @@ def find_all(
         if len(mesh.axis_names) >= 2:
             # ("dp", "sp") or ("dcn", "dp", "sp"): scene sharded over the
             # LAST axis; every leading axis is an independent RANSAC chunk
-            from triplet_match_tpu.parallel.search2d import SP_AXIS, search_round_2d_prep
+            from triplet_match_tpu.parallel.search2d import search_round_2d_prep
 
             sp_ext = mesh.shape[mesh.axis_names[-1]]
             if prep.cloud.xyz.shape[0] % sp_ext:
