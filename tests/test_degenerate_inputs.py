@@ -118,3 +118,40 @@ def test_model_match_factor_above_one_finds_nothing(model):
                        sample_params=SAMPLE, discretization=DISC,
                        policy=POLICY, max_icp_iterations=3, seed=4)
     assert matches == []
+
+
+def test_knn_fewer_valid_points_than_k_masks_tails():
+    """Scan-init filler candidates must never surface as phantom neighbors.
+
+    With fewer valid reference points than k, the candidate scan leaves
+    slots at its init value (index 0); those must come back with huge
+    sqdists, not finite duplicates of point 0 that evict real neighbors
+    (review round 3)."""
+    from triplet_match_tpu.ops.knn import knn, radius_neighbors
+
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=(20, 3)).astype(np.float32)
+    valid = np.zeros(20, bool)
+    valid[:5] = True
+    q = r[:3] + 0.01
+    idx, d2 = knn(jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid), 10)
+    finite = np.asarray(d2[0]) < 1e30
+    assert finite.sum() == 5
+    assert sorted(np.asarray(idx[0])[finite].tolist()) == [0, 1, 2, 3, 4]
+    _, mask = radius_neighbors(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(valid), 100.0, 10)
+    assert int(np.asarray(mask[0]).sum()) == 5
+
+
+def test_knn_k_larger_than_reference_capacity():
+    """k above the reference array capacity pads with huge sqdists instead
+    of crashing lax.top_k (review round 3; principal_curvatures defaults
+    k=30, so tiny clouds hit this)."""
+    from triplet_match_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(1)
+    r = rng.normal(size=(20, 3)).astype(np.float32)
+    q = r[:4]
+    idx, d2 = knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(20, bool), 30)
+    assert idx.shape == (4, 30)
+    assert int((np.asarray(d2[0]) < 1e30).sum()) == 20

@@ -86,3 +86,24 @@ def test_prepare_scene_grid_matches_brute_edges():
     # the ~0.67 ceiling is the curvature ratio under noise, not the op)
     assert rec_g >= rec_w - 0.01
     assert rec_g > 0.5
+
+
+def test_grid_cell_edge_never_below_requested():
+    """dims must round DOWN so the effective edge stays >= cell_size:
+    ceil shrank the edge to ~0.7*cell at ext = 2.1*cell, and in-radius
+    neighbors two cells away fell outside the stencil (review round 3)."""
+    rng = np.random.default_rng(5)
+    cell = 1.0
+    xyz = jnp.asarray(rng.uniform(0, 2.1, (400, 3)).astype(np.float32))
+    v = jnp.ones(400, bool)
+    grid = build_grid(xyz, v, cell)
+    k = 8
+    gi, gm = grid_neighbors(grid, xyz, xyz, k, cap=400, radius=cell)
+    bi, bd2 = knn(xyz, xyz, v, k)
+    bm = bd2 <= cell * cell
+    gd2 = jnp.sum((xyz[gi] - xyz[:, None, :]) ** 2, -1)
+    gs = jnp.sort(jnp.where(gm, gd2, jnp.inf), 1)
+    bs = jnp.sort(jnp.where(bm, bd2, jnp.inf), 1)
+    both_inf = ~jnp.isfinite(gs) & ~jnp.isfinite(bs)
+    diff = jnp.where(both_inf, 0.0, jnp.abs(gs - bs))
+    assert bool(jnp.all(diff < 1e-6))

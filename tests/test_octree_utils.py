@@ -104,3 +104,18 @@ def test_feature_histograms(tmp_path):
     assert h0.sum() == int(m.pair_count) == h1.sum()
     lines = open(p).read().splitlines()
     assert len(lines) == 2
+
+
+def test_octree_min_voxel_size_gates_on_min_extent():
+    """min_voxel_size follows the reference's minCoeff rule
+    (impl/octree.hpp:100): a flat slab whose smallest extent is already
+    below 2*value stays a single leaf; an isotropic cloud subdivides."""
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+    xyz[:, 2] *= 0.01  # 1 x 1 x 0.01 slab
+    flat = PointCloud.from_arrays(xyz)
+    tree = from_pointcloud(flat, max_depth=6, criterion="min_voxel_size", value=0.1)
+    assert len(list(tree.leaf_traversal())) == 1
+    cube = PointCloud.from_arrays(rng.uniform(0, 1, (300, 3)).astype(np.float32))
+    tree2 = from_pointcloud(cube, max_depth=6, criterion="min_voxel_size", value=0.1)
+    assert len(list(tree2.leaf_traversal())) > 1

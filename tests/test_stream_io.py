@@ -42,3 +42,22 @@ def test_streaming_ascii_and_compressed(tmp_path):
         write_pcd(p, xyz, nrm, tan, **kw)
         b = read_pcd_streaming(p, chunk_points=128)
         np.testing.assert_allclose(np.asarray(b.xyz), xyz, rtol=1e-6)
+
+
+def test_streaming_compressed_preserves_mid_array_nan(tmp_path):
+    """The compressed path must chunk RAW rows: slicing the sanitized
+    cloud's valid prefix fabricated a zero point and dropped the trailing
+    valid one when a NaN row sat mid-array (review round 3)."""
+    xyz, nrm, tan = _cloud(10, seed=3)
+    xyz = xyz.copy()
+    xyz[4] = np.nan
+    p = str(tmp_path / "n.pcd")
+    write_pcd(p, xyz, nrm, tan, compressed=True)
+    rows = np.concatenate([c[0] for c in iter_pcd_chunks(p, chunk_points=4)])
+    assert rows.shape[0] == 10
+    assert np.isnan(rows[4]).all()
+    np.testing.assert_allclose(rows[9], xyz[9], rtol=1e-6)
+    cl = read_pcd_streaming(p, chunk_points=4)
+    v = np.asarray(cl.valid)
+    assert v.sum() == 9 and not v[4]
+    np.testing.assert_allclose(np.asarray(cl.xyz)[9], xyz[9], rtol=1e-6)

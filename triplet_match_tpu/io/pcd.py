@@ -91,7 +91,15 @@ def _parse_header(data: bytes):
     return header, offset
 
 
-def read_pcd(path: str, capacity: int | None = None) -> PointCloud:
+def read_pcd_arrays(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a PCD into raw (xyz, normal, tangent) float32 arrays.
+
+    Rows are returned verbatim — NaN/inf values are preserved (PCL writes
+    NaN rows for invalid points); sanitization happens in
+    ``PointCloud.from_arrays``.  Shared by :func:`read_pcd` and the
+    streaming reader (io/stream.py), which must chunk the *raw* rows so a
+    mid-array NaN point cannot shift later points across chunk boundaries.
+    """
     with open(path, "rb") as f:
         data = f.read()
     header, offset = _parse_header(data)
@@ -147,6 +155,11 @@ def read_pcd(path: str, capacity: int | None = None) -> PointCloud:
         [col("tangent_x", "data_c_1", "data_c1"),
          col("tangent_y", "data_c_2", "data_c2"),
          col("tangent_z", "data_c_3", "data_c3")], 1)
+    return xyz, normal, tangent
+
+
+def read_pcd(path: str, capacity: int | None = None) -> PointCloud:
+    xyz, normal, tangent = read_pcd_arrays(path)
     return PointCloud.from_arrays(xyz, normal, tangent, capacity=capacity)
 
 

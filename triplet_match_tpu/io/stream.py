@@ -99,17 +99,16 @@ def iter_pcd_chunks(path: str, chunk_points: int = 1_000_000
                 done += cnt
                 yield _extract(arr, names)
     elif mode == "binary_compressed":
-        # LZF streams are sequential; decode once and chunk the result
-        from triplet_match_tpu.io.pcd import read_pcd
+        # LZF streams are sequential; decode once and chunk the RAW rows.
+        # Raw (NaN-preserving) rows keep this mode consistent with
+        # binary/ascii — slicing a sanitized cloud's valid prefix instead
+        # would fabricate zeroed points and drop trailing valid ones when a
+        # NaN row sits mid-array (PointCloud.from_arrays zeroes in place).
+        from triplet_match_tpu.io.pcd import read_pcd_arrays
 
-        cloud = read_pcd(path)
-        xyz = np.asarray(cloud.xyz)
-        nrm = np.asarray(cloud.normal)
-        tan = np.asarray(cloud.tangent)
-        valid = np.asarray(cloud.valid)
-        n_real = int(valid.sum()) if valid.shape[0] else 0
-        for start in range(0, n_real, chunk_points):
-            sl = slice(start, min(start + chunk_points, n_real))
+        xyz, nrm, tan = read_pcd_arrays(path)
+        for start in range(0, n, chunk_points):
+            sl = slice(start, min(start + chunk_points, n))
             yield xyz[sl], nrm[sl], tan[sl]
     else:
         raise ValueError(f"unsupported PCD DATA mode: {mode}")

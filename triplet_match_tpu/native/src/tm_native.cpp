@@ -233,7 +233,20 @@ void tm_grid_knn(const float* q, int64_t nq, const float* r, int64_t nr,
   int dims[3];
   for (int d = 0; d < 3; ++d) {
     float ext = std::max(hi[d] - lo[d], 1e-6f);
-    dims[d] = std::min(std::max(static_cast<int>(std::ceil(ext / cell)), 1), 1024);
+    // floor, not ceil: the effective edge ext/dims must be >= cell or the
+    // one-ring stencil misses true neighbors at distances in (edge, cell];
+    // dims==1 spans the whole axis and stays exact
+    dims[d] = std::min(std::max(static_cast<int>(ext / cell), 1), 1024);
+  }
+  // bound the dense per-cell table (1024^3 cells would be a ~4.3GB vector):
+  // coarsen the largest axis until the count fits ~16M entries (64MB) —
+  // growing cells only widens the stencil's reach, exactness is kept
+  const int64_t kMaxCells = int64_t(1) << 24;
+  while (static_cast<int64_t>(dims[0]) * dims[1] * dims[2] > kMaxCells) {
+    int dmax = 0;
+    if (dims[1] > dims[dmax]) dmax = 1;
+    if (dims[2] > dims[dmax]) dmax = 2;
+    dims[dmax] = std::max(dims[dmax] / 2, 1);
   }
   float inv_cell[3];
   for (int d = 0; d < 3; ++d)

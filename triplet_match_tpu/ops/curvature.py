@@ -95,9 +95,7 @@ def estimate_edge_tangents(cloud, k: int = 30, *, curvature_ratio_threshold: flo
     Returns [N, 3] tangents (unit on detected edges, zero elsewhere).
     """
     curv = principal_curvatures(cloud, k=k)
-    ratio = jnp.where(
-        curv.pc_max > 0.0, curv.pc_min / jnp.maximum(curv.pc_max, 1e-30), jnp.inf
-    )
+    ratio = curvature_ratio(curv)
     is_edge = cloud.valid & (ratio < curvature_ratio_threshold) & (curv.pc_max > min_pc_max)
     t = jnp.cross(cloud.normal, curv.pc_max_dir)
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)

@@ -62,8 +62,11 @@ def build_grid(xyz: jax.Array, valid: jax.Array, cell_size) -> GridIndex:
     hi = jnp.max(jnp.where(valid[:, None], xyz, -_INF), axis=0)
     ext = jnp.maximum(hi - lo, 1e-6)
     cell = jnp.maximum(jnp.asarray(cell_size, jnp.float32), 1e-6)
-    dims = jnp.clip(jnp.ceil(ext / cell).astype(jnp.int32), 1, 1024)
-    # effective per-axis cell edge (>= cell_size when dims saturates at 1024)
+    # floor, not ceil: the effective edge ext/dims must be >= cell_size or
+    # the one-ring stencil misses true neighbors at distances in
+    # (edge, cell_size].  dims=1 (ext < cell_size) is still exact — the
+    # stencil then spans the whole axis.
+    dims = jnp.clip(jnp.floor(ext / cell).astype(jnp.int32), 1, 1024)
     inv_cell = dims.astype(jnp.float32) / ext
 
     ids = _pack(_cell_coords(xyz, lo, inv_cell, dims))
@@ -167,7 +170,10 @@ def estimate_knn_radius(
     from triplet_match_tpu.ops.knn import knn
 
     n = xyz.shape[0]
-    step = max(n // n_sample, 1)
+    # ceil division so the stride spans the WHOLE cloud: floor would sample
+    # only the prefix (one spatial region of a scan-ordered cloud) whenever
+    # n_sample < n < 2*n_sample, biasing the radius to that region's density
+    step = max(-(-n // n_sample), 1)
     sub_idx = jnp.arange(0, n, step, dtype=jnp.int32)[:n_sample]
     q = xyz[sub_idx]
     _, d2 = knn(q, xyz, valid, k, block=min(n_sample, 512))

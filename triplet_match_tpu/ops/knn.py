@@ -139,7 +139,9 @@ def knn(
     qn = q.shape[0]
     n = r.shape[0]
     rb = ref_block or _default_ref_block(n, block)
-    k2 = min(k + _REFINE_PAD, n)
+    # >= k so the final top_k never exceeds the candidate width when the
+    # reference capacity itself is below k (tails are masked to _INF below)
+    k2 = max(min(k + _REFINE_PAD, n), k)
     nblocks = -(-qn // block)
     qp = _pad_rows(q, nblocks * block).reshape(nblocks, block, 3)
     inf_row = jnp.where(r_valid, 0.0, _INF)
@@ -147,9 +149,14 @@ def knn(
     prec = jax.lax.Precision.DEFAULT if approx_candidates else jax.lax.Precision.HIGH
 
     def tile(qb):
-        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb, precision=prec)
-        cpos = r[cand]
-        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
+        cand, cd2 = _scan_candidates(qb, r, inf_row, k2, rb, precision=prec)
+        cpos = r[jnp.minimum(cand, n - 1)]
+        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1)
+        # candidate slots the scan never filled (fewer than k2 valid points:
+        # init idx 0 / padded rows / invalid refs) carry >=_INF approx
+        # distances — without this mask they would earn finite exact
+        # distances and evict real neighbors as duplicates of point 0
+        d2 = jnp.where(cd2 >= _INF, _INF, d2)
         neg, pos = lax.top_k(-d2, k)
         idx = jnp.take_along_axis(cand, pos, axis=1)
         return idx.astype(jnp.int32), -neg
@@ -174,9 +181,10 @@ def nn1(q: jax.Array, r: jax.Array, r_valid: jax.Array, *, block: int = 2048,
     inf_row = jnp.where(r_valid, 0.0, _INF)
 
     def tile(qb):
-        cand, _ = _scan_candidates(qb, r, inf_row, k2, rb)
-        cpos = r[cand]
-        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
+        cand, cd2 = _scan_candidates(qb, r, inf_row, k2, rb)
+        cpos = r[jnp.minimum(cand, n - 1)]
+        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1)
+        d2 = jnp.where(cd2 >= _INF, _INF, d2)  # unfilled/invalid slots
         j = jnp.argmin(d2, axis=-1)
         idx = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
         return idx.astype(jnp.int32), jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
@@ -202,9 +210,10 @@ def nn1_exclusive_dist(cloud, *, block: int = 1024, ref_block: int | None = None
     def tile(args):
         bi, qb = args
         rows = bi * block + jnp.arange(block, dtype=jnp.int32)
-        cand, _ = _scan_candidates(qb, xyz, inf_row, k2, rb, self_rows=rows)
-        cpos = xyz[cand]
-        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1) + inf_row[cand]
+        cand, cd2 = _scan_candidates(qb, xyz, inf_row, k2, rb, self_rows=rows)
+        cpos = xyz[jnp.minimum(cand, n - 1)]
+        d2 = jnp.sum(jnp.square(cpos - qb[:, None, :]), axis=-1)
+        d2 = jnp.where(cd2 >= _INF, _INF, d2)  # unfilled/invalid slots
         d2 = jnp.where(cand == rows[:, None], _INF, d2)
         return jnp.min(d2, axis=-1)
 

@@ -125,6 +125,11 @@ def from_pointcloud(
     lo = np.asarray(lo_d)
     hi = np.asarray(hi_d)
     span = float(np.max(hi - lo))
+    # octants are anisotropic halves of the cloud bbox (morton_codes
+    # normalizes per axis), so node extents at depth d are (hi-lo)/2^d —
+    # the size criteria follow the reference's min/max coefficient of the
+    # node bbox extent (impl/octree.hpp:99-100)
+    min_ext = float(np.min(hi - lo))
 
     valid = np.asarray(cloud.valid)
     codes = np.asarray(morton_codes(cloud.xyz, lo_d, hi_d, max_depth))
@@ -144,7 +149,9 @@ def from_pointcloud(
         if criterion == "max_point_count":
             return count > value
         if criterion == "min_voxel_size":
-            return cell_size(depth + 1) >= value
+            # subdivide while the SMALLEST node extent still exceeds 2S, so
+            # no child axis drops below S (impl/octree.hpp:100 minCoeff)
+            return min_ext / (1 << depth) > 2.0 * value
         if criterion == "max_voxel_size":
             return cell_size(depth) > value
         raise ValueError(criterion)

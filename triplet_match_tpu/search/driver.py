@@ -959,7 +959,7 @@ def find_all(
             if rnd >= policy.max_rounds:
                 break
             key = jax.random.fold_in(base_key, rnd)
-            with profiler.section("round", consumed):
+            with profiler.section("round"):
                 res, consumed, fp = round_fn(
                     model, prep, consumed, fp, key, jnp.float32(dist_thres),
                     jnp.float32(model_match_factor), mpack

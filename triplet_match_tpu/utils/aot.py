@@ -201,9 +201,18 @@ def store(key: str, compiled) -> None:
             return
         path = _path(key)
         fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
-        with os.fdopen(fd, "wb") as fh:
-            pickle.dump((blob, in_tree, out_tree), fh)
-        os.replace(tmp, path)  # atomic publish
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                pickle.dump((blob, in_tree, out_tree), fh)
+            os.replace(tmp, path)  # atomic publish
+        except BaseException:
+            # don't leak multi-MB .tmp blobs (the LRU sweep only sees
+            # *.jaxexec) when the dump dies mid-write (disk full, etc.)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         _sweep()
     except Exception as e:  # const_args, unsupported backend, disk errors
         _warn_once(f"store failed: {e!r}")

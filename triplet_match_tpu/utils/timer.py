@@ -3,7 +3,8 @@
 Mirrors the reference ``timer`` (/root/reference/include/impl/timer.hpp:9-44)
 and the hand-rolled streaming averages in ``find_in_subset``
 (impl/scene.hpp:259-264, 357-359).  On-device timing must bracket with
-``jax.block_until_ready``; ``Timer.section`` does that for you.
+``jax.block_until_ready``; route block outputs through the ``sync``
+callable that ``Profiler.section`` yields and it does that for you.
 """
 
 from __future__ import annotations
@@ -60,13 +61,26 @@ class Profiler:
         self.phases: dict[str, StreamingAverage] = defaultdict(StreamingAverage)
 
     @contextlib.contextmanager
-    def section(self, name: str, *sync_values):
+    def section(self, name: str):
+        """Time a phase.  Pass values produced INSIDE the block through the
+        yielded ``sync`` (identity; block_until_ready before the stop stamp)
+        so async device work is included::
+
+            with profiler.section("round") as sync:
+                out = sync(step(...))
+        """
         import jax
 
+        pending: list = []
+
+        def sync(value):
+            pending.append(value)
+            return value
+
         t0 = time.perf_counter()
-        yield
-        if sync_values:
-            jax.block_until_ready(sync_values)
+        yield sync
+        if pending:
+            jax.block_until_ready(pending)
         self.phases[name].update((time.perf_counter() - t0) * 1e3)
 
     def report(self) -> str:

@@ -15,26 +15,34 @@ import contextlib
 
 
 @contextlib.contextmanager
-def device_trace(log_dir: str, *sync_values):
+def device_trace(log_dir: str):
     """Capture a jax.profiler trace of the enclosed block.
 
     Usage::
 
-        with device_trace("/tmp/tm_trace", result_to_sync):
-            result_to_sync = search_round(...)
+        with device_trace("/tmp/tm_trace") as sync:
+            result = sync(search_round(...))
 
-    Pass the values produced inside the block so the trace brackets the
-    actual device work (async dispatch otherwise escapes the region).
-    View with ``tensorboard --logdir <log_dir>`` or the Perfetto UI.
+    Pass values produced inside the block through the yielded ``sync``
+    (identity; registers them for ``block_until_ready`` before the trace
+    stops) so the trace brackets the actual device work — async dispatch
+    otherwise escapes the region.  View with ``tensorboard --logdir
+    <log_dir>`` or the Perfetto UI.
     """
     import jax
 
+    pending: list = []
+
+    def sync(value):
+        pending.append(value)
+        return value
+
     jax.profiler.start_trace(log_dir)
     try:
-        yield
+        yield sync
     finally:
-        if sync_values:
-            jax.block_until_ready(sync_values)
+        if pending:
+            jax.block_until_ready(pending)
         jax.profiler.stop_trace()
 
 
