@@ -22,6 +22,7 @@ from triplet_match_tpu.search.driver import (
     LAST_SEARCH_STATS,
     adaptive_inner_bound,
     adaptive_outer_bound,
+    ball_population_quantile,
     find_all,
     prepare_scene,
 )
@@ -341,3 +342,17 @@ def test_fine_rescore_density_switch(inner_fixture, monkeypatch):
     pol_off = dataclasses.replace(pol, adaptive_fine_rescore=False)
     find_all(model, sparse, model_match_factor=0.5, policy=pol_off, seed=0)
     assert LAST_SEARCH_STATS["fine_rescore_full"] is False
+
+
+def test_ball_quantile_memo_keys_on_masks(inner_fixture):
+    """A mask-patched prep sharing the xyz array must not reuse the stale
+    density memo (review round 3): find_all_multi swaps `valid` between
+    searches while the xyz object identity stays the same."""
+    model, sparse, dense, _ = inner_fixture
+    prep_d = prepare_scene(dense)
+    q_full = ball_population_quantile(prep_d, model)
+    assert q_full > 0.0
+    masked = dataclasses.replace(
+        prep_d, tangent_mask=jnp.zeros_like(prep_d.tangent_mask))
+    assert ball_population_quantile(masked, model) == 0.0
+    assert ball_population_quantile(prep_d, model) == q_full

@@ -155,3 +155,32 @@ def test_knn_k_larger_than_reference_capacity():
     idx, d2 = knn(jnp.asarray(q), jnp.asarray(r), jnp.ones(20, bool), 30)
     assert idx.shape == (4, 30)
     assert int((np.asarray(d2[0]) < 1e30).sum()) == 20
+
+
+def test_default_policy_on_tiny_scene_does_not_crash(model):
+    """Scenes smaller than num_first_samples (default 256) must search,
+    not crash top_k inside the jitted round (review round 3)."""
+    from triplet_match_tpu.config import SearchPolicy as SP
+
+    xyz, nrm, tan = make_box_model(n_edge=60, n_face=120, size=(1.0, 0.8, 0.6), seed=2)
+    scene = PointCloud.from_arrays(xyz, nrm, tan)  # 180 points << 256
+    pol = SP(max_rounds=1)
+    matches = find_all(model, scene, dist_thres=3.0, model_match_factor=0.5,
+                       sample_params=SAMPLE, discretization=DISC,
+                       policy=pol, max_icp_iterations=3, seed=1)
+    assert isinstance(matches, list)
+
+
+def test_compile_model_with_fully_duplicated_points_warns():
+    """Exactly duplicated points (a merge artifact) drive the mean 1-NN
+    resolution to 0; compile must warn and fall back to a bbox-derived
+    scale instead of blowing up to NaN/negative voxel extents."""
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=240, size=(1.0, 0.8, 0.6), seed=4)
+    xyz2 = np.concatenate([xyz, xyz])
+    nrm2 = np.concatenate([nrm, nrm])
+    tan2 = np.concatenate([tan, tan])
+    with pytest.warns(UserWarning, match="resolution is 0"):
+        m = compile_model(PointCloud.from_arrays(xyz2, nrm2, tan2), DISC, SAMPLE,
+                          POLICY, pair_block=128)
+    assert float(m.resolution) > 0
+    assert all(e > 0 for e in m.extents)

@@ -131,3 +131,20 @@ def test_orientation_weight_harmless_without_clutter():
                              orientation_weight=orient)
         dt_mm, dr = _delta_mm(t_pol, t_gt)
         assert dt_mm < 0.5 and dr < 0.05
+
+
+def test_icp_zero_iterations_returns_unrelaxed_corrs(sheet_scene):
+    """max_iterations=0 returns the match untouched (impl/scene.hpp:371):
+    pose unchanged and corrs at the UNRELAXED gate — the relaxed 2x gate
+    would inflate acceptance counts on the no-ICP path (review round 3)."""
+    from triplet_match_tpu.search.score import finish_find
+
+    model, prep, consumed, t0, _ = sheet_scene
+    res = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                     0.05, 0, tight_iterations=0)
+    assert int(res.iterations) == 0
+    assert np.allclose(np.asarray(res.transform), np.asarray(t0))
+    strict = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t0, 0.05)
+    relaxed = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t0, 0.10)
+    assert int(res.corrs.count) == int(strict.count)
+    assert int(relaxed.count) > int(strict.count)

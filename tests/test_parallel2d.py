@@ -241,3 +241,35 @@ def test_prepare_scene_mesh_sharded_matches_single(setup):
         np.asarray(p_mesh.tangent_mask), np.asarray(p_single.tangent_mask)
     )
     assert int(p_mesh.n_edge) == int(p_single.n_edge) > 0
+
+
+def test_sp_round_with_scene_smaller_than_b1():
+    """Tiny sharded scenes must not crash the merged top-k: with
+    sp * per-shard-capacity < num_first_samples, _merge_sp_topk pads the
+    gathered candidates back to the static B1 with invalid slots
+    (review round 3)."""
+    xyz, nrm, tan = make_box_model(n_edge=120, n_face=200, size=(1.0, 0.8, 0.6), seed=3)
+    pol = dataclasses.replace(POLICY, num_first_samples=512)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          pol, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(xyz, nrm, tan, noise=0.001, n_clutter=60,
+                                    clutter_extent=5.0, seed=7, capacity=384)
+    prep = prepare_scene(scene, pol)
+    mpack = sp.pack_model(model)
+    mesh = make_mesh_2d(1, 2)  # 384 points -> 192/shard; 2*192 < 512
+    n = prep.cloud.xyz.shape[0]
+    res, _, _ = jax.jit(
+        partial(
+            search_round_2d, mesh,
+            discretization=DISC, sample_params=SAMPLE, policy=pol,
+            max_icp_iterations=5,
+        )
+    )(model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool),
+      jnp.zeros(n, bool), jax.random.PRNGKey(2), jnp.float32(3.0),
+      jnp.float32(0.5), mpack)
+    accept = np.asarray(res.accept)
+    assert accept.any()
+    f = int(np.argmax(np.asarray(res.count) * accept))
+    t_inv = np.asarray(invert_rigid(res.transform[f]))
+    dt, _ = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
+    assert float(dt) < 6e-3

@@ -135,7 +135,9 @@ def _voxel_grid_setup(lower, upper, resolution_val: float, margin: int):
     subvoxel shift).  Host-side: extents must be static (they size the LUT).
     """
     rng = upper - lower
-    ext = np.maximum(rng / (0.5 * resolution_val), 1.0)
+    # clamp: a zero/denormal resolution would make ext inf, and the shrink
+    # loop's inf/inf then poisons extents with NaN -> INT_MIN
+    ext = np.minimum(np.maximum(rng / (0.5 * max(resolution_val, 1e-30)), 1.0), 1e9)
     # isotropic shrink when the resolution-derived volume exceeds the HBM
     # budget (dense models; see _MAX_LUT_VOXELS)
     for _ in range(8):  # fixed-point: the +2*margin term shifts the solve
@@ -373,6 +375,17 @@ def compile_model(
     res = float(res_d)
     lower, upper = np.asarray(lower_d), np.asarray(upper_d)
     dia = float(np.linalg.norm(upper - lower))
+    if not (res > 0.0) or not np.isfinite(res):
+        # every point duplicated (merge artifact) drives the mean 1-NN
+        # distance to exactly 0, which would blow the grid setup up to
+        # inf/NaN extents AND collapse every resolution-scaled threshold
+        # downstream.  Fall back to a bbox-derived scale and warn.
+        import warnings
+
+        res = max(dia / 100.0, 1e-9)
+        warnings.warn(
+            "model cloud resolution is 0 (exactly duplicated points?); "
+            f"falling back to diameter/100 = {res:.3g}", stacklevel=2)
     extents, to_voxel = _voxel_grid_setup(lower, upper, res, margin)
 
     edge_np = np.asarray(edge_d)

@@ -109,7 +109,8 @@ def make_global_cloud(mesh, cloud, axis: str = SP_AXIS):
 
     ``cloud`` holds full process-local (replicated) arrays; the result is
     the scene input ``parallel.search2d.search_round_2d`` expects.  The
-    point capacity must divide the axis extent.
+    axis extent must divide the point capacity (pad the capacity to a
+    multiple of the sp extent, not the other way around).
     """
     from jax.sharding import PartitionSpec as P
 

@@ -53,6 +53,7 @@ from triplet_match_tpu.features import pairfeat as pf
 from triplet_match_tpu.index.model import CompiledModel, query_pairs
 from triplet_match_tpu.ops.knn import radius_sample
 from triplet_match_tpu.refine.icp import icp_refine
+from triplet_match_tpu.search import score_pallas as sp
 from triplet_match_tpu.search.driver import RoundResult
 from triplet_match_tpu.search.sampling import hash_uniform
 
@@ -60,7 +61,6 @@ DCN_AXIS = "dcn"
 DP_AXIS = "dp"
 SP_AXIS = "sp"
 
-_FAR = 1.0e6
 _INF = jnp.float32(3.0e38)
 
 
@@ -95,14 +95,28 @@ def _merge_sp_topk(prio, k: int, *vals):
     Returns (prio [..., k], vals') — identical on every sp shard.
     """
     pr = lax.all_gather(prio, SP_AXIS, axis=prio.ndim - 1, tiled=True)
-    neg, slots = lax.top_k(-pr, k)
+    ax = prio.ndim - 1
+    # scenes so small that sp * local_k < k must not crash top_k — take the
+    # gathered width and pad back to the static k with _INF priorities
+    # (callers mask on prio < _INF)
+    kk = min(k, pr.shape[ax])
+    neg, slots = lax.top_k(-pr, kk)
     out = []
     for v in vals:
-        ax = prio.ndim - 1
         vg = lax.all_gather(v, SP_AXIS, axis=ax, tiled=True)
         sl = slots.reshape(slots.shape + (1,) * (v.ndim - prio.ndim))
         out.append(jnp.take_along_axis(vg, jnp.broadcast_to(sl, slots.shape + v.shape[prio.ndim:]), axis=ax))
-    return -neg, out
+    merged = -neg
+    if kk < k:
+        pad = k - kk
+        merged = jnp.concatenate(
+            [merged, jnp.full(merged.shape[:ax] + (pad,), _INF, merged.dtype)], axis=ax)
+        out = [
+            jnp.concatenate(
+                [v, jnp.zeros(v.shape[:ax] + (pad,) + v.shape[ax + 1:], v.dtype)], axis=ax)
+            for v in out
+        ]
+    return merged, out
 
 
 class _Samples(NamedTuple):
@@ -189,21 +203,9 @@ def search_round_2d(
             block=min(b1, 256), prio=hash_uniform(k3, gidx),
         )
         nb_pr = jnp.where(nb_ok, hash_uniform(k3, gidx[nb_idx]), _INF)
-        # channels the kernel consumes (score_pallas.pack_groups layout)
-        use_tan = tangent_mask[nb_idx]
-        elig = nb_ok & cloud.valid[nb_idx] & ~consumed[nb_idx]
-        if not policy.samples_on_all:
-            elig = elig & (jnp.linalg.norm(cloud.tangent[nb_idx], axis=-1) > 0.7)
-        ref = jnp.where(use_tan[..., None], cloud.tangent[nb_idx], cloud.normal[nb_idx])
-        ch = jnp.concatenate(
-            [
-                jnp.where(elig[..., None], cloud.xyz[nb_idx], _FAR),
-                use_tan[..., None].astype(jnp.float32),
-                elig[..., None].astype(jnp.float32),
-                ref,
-            ],
-            axis=-1,
-        )  # [B1, K, 8]
+        # channels the kernel consumes — shared layout home
+        ch = sp.group_channels(cloud, tangent_mask, consumed, nb_idx, nb_ok,
+                               samples_on_all=policy.samples_on_all)  # [B1, K, 8]
         _, (ch_m,) = _merge_sp_topk(nb_pr, ks, ch)
         groups = jnp.swapaxes(ch_m, 1, 2)  # [B1, 8, K]
 
@@ -256,41 +258,12 @@ def search_round_2d(
         if sample_params.force_up:
             hyp_ok = hyp_ok & (jnp.abs(1.0 - ts[..., 2, 2]) <= 0.01)
 
-        # --- 4. fused kernel scoring on the merged groups ---
-        from triplet_match_tpu.search import score_pallas as sp
-
+        # --- 4. fused kernel scoring on the merged groups (shared
+        # policy-driven dispatch: score_pallas.rank_groups) ---
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
         okg = hyp_ok.reshape(b1, b2 * qcap)
-        # non-default scoring semantics bypass the two-phase screen — its
-        # optimistic-count keep is not ranking-safe under signed/weighted
-        # scores (see driver.hypothesize_and_score)
-        exact_semantics = policy.weighted_distance or policy.negative_scores
-        if (policy.early_drop and policy.two_phase_scoring and ks >= 256
-                and not exact_semantics):
-            s_pl, _ = sp.score_groups_two_phase(
-                mpack, groups, rows, thres * thres, okg,
-                mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,
-                coarse_stride=policy.two_phase_stride,
-                keep_frac=policy.two_phase_keep_frac,
-                interpret=policy.pallas_interpret,
-                coarse_model=policy.two_phase_coarse_model,
-                fine_stride=policy.two_phase_fine_stride,
-                weighted_distance=policy.weighted_distance,
-                negative_scores=policy.negative_scores,
-                coarse_linear=policy.two_phase_coarse_linear,
-                fine_coarse=policy.two_phase_fine_coarse,
-                fine_strict=policy.two_phase_fine_strict,
-            )
-        else:
-            s_pl, _ = sp.score_groups_pallas(
-                mpack, groups, rows, thres * thres,
-                mode=policy.ranking_mode, pose_tile=8,
-                interpret=policy.pallas_interpret,
-                weighted_distance=policy.weighted_distance,
-                negative_scores=policy.negative_scores,
-            )
-        invalid = -1.0e12 if policy.negative_scores else -1.0
-        scores = jnp.where(okg, s_pl, invalid).reshape(-1)
+        scores = sp.rank_groups(mpack, groups, rows, thres * thres,
+                                okg, policy).reshape(-1)
         # hyp_ok is replicated across sp (built from merged samples), so the
         # total only reduces over dp
         n_hyp = jnp.sum(hyp_ok.astype(jnp.int32))

@@ -63,9 +63,14 @@ def icp_refine(
                            weighted_distance=weighted_distance, negative_scores=negative_scores,
                            samples_on_all=samples_on_all, axis_name=axis_name)
 
-    best = _ff(t0, relaxed)
     if max_iterations == 0:
-        return IcpResult(t0, best, jnp.int32(0))
+        # impl/scene.hpp:371 returns the match untouched — its corrs came
+        # from the caller's finish_find at the UNRELAXED threshold.  Using
+        # the relaxed gate here would inflate acceptance counts ~2x-gate-wide
+        # on the no-ICP path.
+        return IcpResult(t0, _ff(t0, dist_thres), jnp.int32(0))
+
+    best = _ff(t0, relaxed)
 
     def cond(state):
         t_best, corrs, it, done = state

@@ -114,6 +114,7 @@ def _grid_edge_ratios(cloud: cl.PointCloud, qidx: jax.Array, *,
     return jax.lax.map(tile, (qx, qn)).reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("policy", "chunk", "cap", "mesh"))
 def _grid_edge_ratios_mesh(cloud: cl.PointCloud, qidx: jax.Array, *,
                            policy: SearchPolicy, chunk: int, cap: int,
                            mesh) -> jax.Array:
@@ -125,6 +126,10 @@ def _grid_edge_ratios_mesh(cloud: cl.PointCloud, qidx: jax.Array, *,
     one host's patience spreads across every chip.  The result is gathered
     back replicated so every process of a multi-controller runtime reads
     the same ratios (parallel/distributed.py conventions).
+
+    Jitted at module level (mesh/policy are hashable statics) so repeated
+    mesh-sharded ``prepare_scene`` calls at one shape reuse the compiled
+    program instead of retracing a fresh closure per call.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -134,38 +139,34 @@ def _grid_edge_ratios_mesh(cloud: cl.PointCloud, qidx: jax.Array, *,
     all_axes = tuple(mesh.axis_names)
     joint = P(all_axes)  # dim 0 sharded over every axis jointly
 
-    @partial(jax.jit, static_argnames=("chunk",))
-    def run(cloud, qidx, *, chunk):
-        tangent_bearing = cloud.valid & (
-            jnp.linalg.norm(cloud.tangent, axis=-1) > policy.tangent_norm_threshold
-        )
-        cell = gridnn.estimate_knn_radius(
-            cloud.xyz, cloud.valid, policy.curvature_k, focus=tangent_bearing
-        )
-        grid = gridnn.build_grid(cloud.xyz, cloud.valid, cell)
-        qx = cloud.xyz[qidx].reshape(ndev, -1, chunk, 3)
-        qn = cloud.normal[qidx].reshape(ndev, -1, chunk, 3)
+    tangent_bearing = cloud.valid & (
+        jnp.linalg.norm(cloud.tangent, axis=-1) > policy.tangent_norm_threshold
+    )
+    cell = gridnn.estimate_knn_radius(
+        cloud.xyz, cloud.valid, policy.curvature_k, focus=tangent_bearing
+    )
+    grid = gridnn.build_grid(cloud.xyz, cloud.valid, cell)
+    qx = cloud.xyz[qidx].reshape(ndev, -1, chunk, 3)
+    qn = cloud.normal[qidx].reshape(ndev, -1, chunk, 3)
 
-        def per_device(grid, xyz, normal, qx_d, qn_d):
-            def tile(args):
-                x, nq = args
-                idx, mask = gridnn.grid_neighbors(grid, xyz, x, policy.curvature_k, cap=cap)
-                c = curvature_from_neighbors(nq, normal[idx], mask)
-                return curvature_ratio(c)
+    def per_device(grid, xyz, normal, qx_d, qn_d):
+        def tile(args):
+            x, nq = args
+            idx, mask = gridnn.grid_neighbors(grid, xyz, x, policy.curvature_k, cap=cap)
+            c = curvature_from_neighbors(nq, normal[idx], mask)
+            return curvature_ratio(c)
 
-            return jax.lax.map(tile, (qx_d[0], qn_d[0]))[None]
+        return jax.lax.map(tile, (qx_d[0], qn_d[0]))[None]
 
-        out = jax.shard_map(
-            per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), joint, joint),
-            out_specs=joint, check_vma=False,
-        )(grid, cloud.xyz, cloud.normal, qx, qn)
-        # gather replicated so every controller reads identical ratios
-        return jax.lax.with_sharding_constraint(
-            out.reshape(-1), NamedSharding(mesh, P())
-        )
-
-    return run(cloud, qidx, chunk=chunk)
+    out = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), joint, joint),
+        out_specs=joint, check_vma=False,
+    )(grid, cloud.xyz, cloud.normal, qx, qn)
+    # gather replicated so every controller reads identical ratios
+    return jax.lax.with_sharding_constraint(
+        out.reshape(-1), NamedSharding(mesh, P())
+    )
 
 
 def _prepare_scene_grid(cloud: cl.PointCloud, *, policy: SearchPolicy,
@@ -342,44 +343,10 @@ def hypothesize_and_score(
         groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r,
                                 samples_on_all=policy.samples_on_all)
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
-        # weighted_distance / negative_scores route around the two-phase
-        # screen: phase 1 keeps top OPTIMISTIC hit counts, which bounds a
-        # kept pose's signed/weighted score from above but not from below —
-        # a dropped pose's signed score could outrank a kept one's (e.g. few
-        # clean hits vs many hits drowned by wrong-kind penalties).  Both
-        # knobs are constexpr-false upstream (impl/scene.hpp:27-28); when a
-        # user flips them the single-phase epilogue path scores every pose
-        # with the exact configured semantics.
-        exact_semantics = policy.weighted_distance or policy.negative_scores
-        if (policy.early_drop and policy.two_phase_scoring and ks >= 256
-                and not exact_semantics):
-            s_pl, _ = sp.score_groups_two_phase(
-                mpack, groups, rows, thres * thres,
-                hyp_ok.reshape(b1, b2 * qcap),
-                mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,
-                coarse_stride=policy.two_phase_stride,
-                keep_frac=policy.two_phase_keep_frac,
-                interpret=policy.pallas_interpret,
-                coarse_model=policy.two_phase_coarse_model,
-                fine_stride=policy.two_phase_fine_stride,
-                weighted_distance=policy.weighted_distance,
-                negative_scores=policy.negative_scores,
-                coarse_linear=policy.two_phase_coarse_linear,
-                fine_coarse=policy.two_phase_fine_coarse,
-                fine_strict=policy.two_phase_fine_strict,
-            )
-        else:
-            s_pl, _ = sp.score_groups_pallas(
-                mpack, groups, rows, thres * thres,
-                mode=policy.ranking_mode, pose_tile=8,
-                interpret=policy.pallas_interpret,
-                weighted_distance=policy.weighted_distance,
-                negative_scores=policy.negative_scores,
-            )
-        # invalid sentinel must sit below any real score; signed scores
-        # under negative_scores can drop below -1
-        invalid = -1.0e12 if policy.negative_scores else -1.0
-        scores = jnp.where(hyp_ok.reshape(b1, b2 * qcap), s_pl, invalid).reshape(-1)
+        scores = sp.rank_groups(
+            mpack, groups, rows, thres * thres,
+            hyp_ok.reshape(b1, b2 * qcap), policy,
+        ).reshape(-1)
     else:
         def per_first(args):
             ts_b, ok_b, nbrs, nbr_ok = args  # [B2*Q,4,4], [B2*Q], [Ks], [Ks]
@@ -627,15 +594,21 @@ def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
     fog-density fine-rescore switch in ``find_all``.  Returns 0.0 when the
     scene has no eligible edge points.
 
-    Memoized on the identity of ``prep.cloud.xyz`` (plus the parameters):
+    Memoized on the identities of ``prep.cloud.xyz``/``valid``/
+    ``tangent_mask`` (plus the parameters):
     the statistic is deterministic, and repeat searches against one prep —
     find_all_multi's per-model loop, multi-instance extraction, the recall
     studies — would otherwise pay the dense host pass on every call.
     """
     pkey = (float(model.diameter), sample, ref_sample, quantile, seed)
-    ck = id(prep.cloud.xyz)
+    # the statistic reads valid and tangent_mask too — masked-patch preps
+    # (find_all_multi shares xyz but swaps valid) must not reuse a stale
+    # density, so all three arrays key the memo
+    arrs = (prep.cloud.xyz, prep.cloud.valid, prep.tangent_mask)
+    ck = tuple(id(a) for a in arrs)
     hit = _BALL_Q_CACHE.get(ck)
-    if hit is not None and hit[0]() is prep.cloud.xyz and hit[1] == pkey:
+    if (hit is not None and all(r() is a for r, a in zip(hit[0], arrs))
+            and hit[1] == pkey):
         return hit[2]
     rng = np.random.default_rng(seed)
     edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
@@ -650,7 +623,7 @@ def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
         d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
         in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
         out = float(np.quantile(in_ball * valid_idx.size, quantile))
-    _BALL_Q_CACHE[ck] = (weakref.ref(prep.cloud.xyz), pkey, out)
+    _BALL_Q_CACHE[ck] = (tuple(weakref.ref(a) for a in arrs), pkey, out)
     while len(_BALL_Q_CACHE) > _BALL_Q_CACHE_MAX:
         _BALL_Q_CACHE.pop(next(iter(_BALL_Q_CACHE)))
     return out

@@ -65,8 +65,16 @@ def sample_firsts(key, eligible: jax.Array, b1: int,
     n = eligible.shape[0]
     gidx = jnp.arange(n, dtype=jnp.int32) + offset
     pr = jnp.where(eligible, hash_uniform(key, gidx, salt=1), jnp.inf)
-    _, idx = jax.lax.top_k(-pr, b1)
-    return FirstSamples(idx.astype(jnp.int32), eligible[idx])
+    # scenes smaller than B1 must not crash top_k — take what exists and
+    # pad back to the static [B1] shape with invalid slots
+    k = min(b1, n)
+    _, idx = jax.lax.top_k(-pr, k)
+    idx = idx.astype(jnp.int32)
+    valid = eligible[idx]
+    if k < b1:
+        idx = jnp.concatenate([idx, jnp.zeros((b1 - k,), jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros((b1 - k,), bool)])
+    return FirstSamples(idx, valid)
 
 
 class SecondSamples(NamedTuple):

@@ -263,32 +263,95 @@ def pack_model(model, max_points: int = 4096, coarse_points: int = 512,
     )
 
 
-def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
-                samples_on_all: bool = True) -> jax.Array:
-    """Stage per-group scene neighborhoods as [G, 8, K] channel planes.
+def group_channels(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
+                   samples_on_all: bool = True) -> jax.Array:
+    """Per-neighbor kernel channel vectors, channels-LAST [..., K, 8].
 
-    One XLA gather of G*K elements (amortized over all poses of the group).
-    Rows: 0-2 xyz, 3 use_tangent, 4 eligibility, 5-7 ref vector.
+    Single home for the channel layout the kernels consume (0-2 xyz — FAR
+    when ineligible, 3 use_tangent, 4 eligibility, 5-7 ref vector): used by
+    :func:`pack_groups` (channels-first) and by the sp-sharded round
+    (parallel/search2d.py), which must carry channels alongside its merge
+    priorities before transposing.
 
     ``samples_on_all=False`` restricts eligibility to tangent-bearing points
     (``considered_correspondence_``, impl/scene.hpp:534-536).
     """
-    xyz = scene.xyz[nbr_idx]  # [G, K, 3]
+    xyz = scene.xyz[nbr_idx]  # [..., K, 3]
     use_tan = tangent_mask[nbr_idx]
     elig = nbr_valid & scene.valid[nbr_idx] & ~consumed[nbr_idx]
     if not samples_on_all:
         elig = elig & (jnp.linalg.norm(scene.tangent[nbr_idx], axis=-1) > 0.7)
     ref = jnp.where(use_tan[..., None], scene.tangent[nbr_idx], scene.normal[nbr_idx])
     xyz = jnp.where(elig[..., None], xyz, _FAR)
-    return jnp.stack(
+    return jnp.concatenate(
         [
-            xyz[..., 0], xyz[..., 1], xyz[..., 2],
-            use_tan.astype(jnp.float32),
-            elig.astype(jnp.float32),
-            ref[..., 0], ref[..., 1], ref[..., 2],
+            xyz,
+            use_tan[..., None].astype(jnp.float32),
+            elig[..., None].astype(jnp.float32),
+            ref,
         ],
-        axis=1,
-    )  # [G, 8, K]
+        axis=-1,
+    )  # [..., K, 8]
+
+
+def pack_groups(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
+                samples_on_all: bool = True) -> jax.Array:
+    """Stage per-group scene neighborhoods as [G, 8, K] channel planes.
+
+    One XLA gather of G*K elements (amortized over all poses of the group);
+    channel contents live in :func:`group_channels`.
+    """
+    ch = group_channels(scene, tangent_mask, consumed, nbr_idx, nbr_valid,
+                        samples_on_all=samples_on_all)
+    return jnp.swapaxes(ch, -1, -2)  # [G, 8, K]
+
+
+def rank_groups(mpack, groups: jax.Array, rows: jax.Array, thres2,
+                ok: jax.Array, policy) -> jax.Array:
+    """Policy-driven scorer dispatch — the single home for the ranking
+    routing shared by ``driver.hypothesize_and_score`` and the sp-sharded
+    round (parallel/search2d.py), so a new scoring knob cannot silently
+    drift between the single-chip and sharded paths.
+
+    Routes to the two-phase screen when it is ranking-safe for the
+    configured semantics; ``weighted_distance``/``negative_scores`` bypass
+    it — phase 1 keeps top OPTIMISTIC hit counts, which bounds a kept
+    pose's signed/weighted score from above but not from below (a dropped
+    pose's signed score could outrank a kept one's).  Both knobs are
+    constexpr-false upstream (impl/scene.hpp:27-28); when flipped, the
+    single-phase epilogue path scores every pose with exact semantics.
+
+    Returns [G, P] scores with invalid poses at a sentinel below any real
+    score (signed scores under ``negative_scores`` can drop below -1).
+    """
+    ks = groups.shape[-1]
+    exact_semantics = policy.weighted_distance or policy.negative_scores
+    if (policy.early_drop and policy.two_phase_scoring and ks >= 256
+            and not exact_semantics):
+        s_pl, _ = score_groups_two_phase(
+            mpack, groups, rows, thres2, ok,
+            mode=policy.ranking_mode, pose_tile=policy.two_phase_pose_tile,
+            coarse_stride=policy.two_phase_stride,
+            keep_frac=policy.two_phase_keep_frac,
+            interpret=policy.pallas_interpret,
+            coarse_model=policy.two_phase_coarse_model,
+            fine_stride=policy.two_phase_fine_stride,
+            weighted_distance=policy.weighted_distance,
+            negative_scores=policy.negative_scores,
+            coarse_linear=policy.two_phase_coarse_linear,
+            fine_coarse=policy.two_phase_fine_coarse,
+            fine_strict=policy.two_phase_fine_strict,
+        )
+    else:
+        s_pl, _ = score_groups_pallas(
+            mpack, groups, rows, thres2,
+            mode=policy.ranking_mode, pose_tile=8,
+            interpret=policy.pallas_interpret,
+            weighted_distance=policy.weighted_distance,
+            negative_scores=policy.negative_scores,
+        )
+    invalid = -1.0e12 if policy.negative_scores else -1.0
+    return jnp.where(ok, s_pl, invalid)
 
 
 def _kernel(params_ref, poses_ref, scene_ref, kindcol_ref, me_ref, ms_ref, md_ref,

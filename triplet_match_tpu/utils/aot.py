@@ -104,7 +104,10 @@ def _source_hash() -> str:
 
         root = os.path.dirname(os.path.abspath(triplet_match_tpu.__file__))
         h = hashlib.sha256()
-        for dirpath, dirnames, files in sorted(os.walk(root)):
+        for dirpath, dirnames, files in os.walk(root):
+            # prune BEFORE the walk descends (mutating dirnames after
+            # sorted() exhausted the generator would do nothing), and sort
+            # in place so the hash is traversal-order stable
             dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
             for fn in sorted(files):
                 if fn.endswith(".py"):
