@@ -149,3 +149,30 @@ def test_progress_callback_polled(data):
     assert all(0.0 <= f <= 1.0 for f in fractions)
     assert any(f > 0.0 for f in fractions)
     assert "%" in stream.getvalue() and "[" in stream.getvalue()
+
+
+def test_cli_mesh_sharded_search(tmp_path, data):
+    """--dp/--sp build a mesh and shard the search; --host-devices lets one
+    machine test the layout with virtual CPU devices.  Scene capacity is
+    padded to the sp extent automatically."""
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    mp = str(tmp_path / "model.pcd")
+    spath = str(tmp_path / "scene.pcd")
+    write_pcd(mp, xyz, nrm, tan)
+    sv = np.asarray(scene_cloud.valid)
+    write_pcd(spath, np.asarray(scene_cloud.xyz)[sv],
+              np.asarray(scene_cloud.normal)[sv],
+              np.asarray(scene_cloud.tangent)[sv])
+    out = str(tmp_path / "matches.json")
+    res = subprocess.run(
+        [sys.executable, "-m", "triplet_match_tpu.cli.match", mp, spath,
+         "--cpu", "--quiet", "--model-match-factor", "0.5",
+         "--dp", "2", "--sp", "4", "--host-devices", "8", "--out", out],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(open(out).read())
+    assert payload["matches"], payload
+    t = np.asarray(payload["matches"][0]["transform"], np.float32)
+    dt, _ = pose_delta(jnp.asarray(t), jnp.asarray(t_gt))
+    assert float(dt) < 8e-3

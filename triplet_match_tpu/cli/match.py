@@ -8,7 +8,14 @@ and excluded from its own build, CMakeLists.txt:26).  Usage:
         [--dist-thres 3.0] [--model-match-factor 0.4] [--seed 13] \
         [--distance-steps 20] [--angle-step-deg 10] \
         [--min-diameter-factor 0.3] [--max-diameter-factor 0.95] \
-        [--max-icp 10] [--save-model model.npz] [--out matches.json]
+        [--max-icp 10] [--save-model model.npz] [--out matches.json] \
+        [--dp N] [--sp N] [--dcn N] [--host-devices N]
+
+Multi-chip: ``--dp`` runs per-chip RANSAC chunks with an ICI finalist
+join, ``--sp`` additionally shards every scene array (the capacity is
+padded automatically), ``--dcn`` adds a multi-slice axis with a
+hierarchical ICI-then-DCN join.  ``--host-devices N --cpu`` tests any
+mesh layout on one machine with virtual devices.
 
 The demo app's discretization {0.05 distance fraction, 10 deg}
 (apps/triplet_match.cpp:17-20) maps to --distance-steps 20 --angle-step-deg 10.
@@ -48,12 +55,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="write matches as JSON")
     p.add_argument("--profile-dir", help="capture a jax.profiler device trace of the search")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis: each of N chips RANSACs its "
+                        "own hypothesis chunk (parallel/search.py)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="scene-sharding mesh axis: scene arrays split across "
+                        "N chips (parallel/search2d.py); the scene capacity "
+                        "is padded to a multiple automatically")
+    p.add_argument("--dcn", type=int, default=1,
+                   help="multi-slice mesh axis with a hierarchical "
+                        "ICI-then-DCN finalist join")
+    p.add_argument("--host-devices", type=int,
+                   help="force N virtual host devices (CPU mesh testing; "
+                        "must be set before the first jax import)")
     p.add_argument("--quiet", action="store_true")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.host_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
 
     import jax
 
@@ -108,7 +136,27 @@ def main(argv=None) -> int:
         model.save(args.save_model)
         log(f"compiled model saved to {args.save_model}")
 
+    mesh = None
+    if args.dcn * args.dp * args.sp > 1:
+        if args.dcn > 1:
+            from triplet_match_tpu.parallel.search2d import make_mesh_3d
+
+            mesh = make_mesh_3d(args.dcn, args.dp, args.sp)
+        elif args.sp > 1:
+            from triplet_match_tpu.parallel.search2d import make_mesh_2d
+
+            mesh = make_mesh_2d(args.dp, args.sp)
+        else:
+            from triplet_match_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.dp)
+        log(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+
     scene_cloud = maybe_estimate(read_pcd(args.scene_pcd), "scene")
+    if args.sp > 1:
+        from triplet_match_tpu.core.cloud import pad_capacity
+
+        scene_cloud = pad_capacity(scene_cloud, args.sp)
     log(f"scene: {int(scene_cloud.count())} points")
     scene = Scene(scene_cloud)
 
@@ -129,6 +177,7 @@ def main(argv=None) -> int:
             sample_params=sample,
             max_icp_iterations=args.max_icp,
             seed=args.seed,
+            mesh=mesh,
             progress=bar.poll if bar else None,
         )
     if args.profile_dir:

@@ -160,6 +160,31 @@ def resolution(cloud: PointCloud, block: int = 1024) -> jax.Array:
     return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def pad_capacity(cloud: PointCloud, multiple: int) -> PointCloud:
+    """Pad the point capacity up to a multiple with invalid filler rows.
+
+    Mesh-sharded searches require the capacity to be divisible by the sp
+    axis extent (search/driver.py ``find_all``); this is the supported way
+    to meet that for an already-built cloud.  No-op when already aligned.
+    """
+    cap = cloud.capacity
+    new = -(-cap // max(multiple, 1)) * max(multiple, 1)
+    if new == cap:
+        return cloud
+    pad = new - cap
+
+    def _pad(a, fill):
+        shape = (pad,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
+
+    return PointCloud(
+        xyz=_pad(cloud.xyz, 0.0),
+        normal=_pad(cloud.normal, 0.0),
+        tangent=_pad(cloud.tangent, 0.0),
+        valid=_pad(cloud.valid, False),
+    )
+
+
 def transform_cloud(cloud: PointCloud, t: jax.Array) -> PointCloud:
     """Apply a rigid transform [4,4] to positions and rotate normal/tangent."""
     r = t[:3, :3]

@@ -787,7 +787,8 @@ def find_all(
             if prep.cloud.xyz.shape[0] % sp_ext:
                 raise ValueError(
                     f"scene capacity {prep.cloud.xyz.shape[0]} not divisible by "
-                    f"sp extent {sp_ext}; pad the cloud capacity"
+                    f"sp extent {sp_ext}; pad the cloud capacity "
+                    f"(core.cloud.pad_capacity)"
                 )
             round_base = partial(search_round_2d_prep, mesh)
             for ax in mesh.axis_names[:-1]:
@@ -838,6 +839,12 @@ def find_all(
         stats["ball_population_q95"] = int(ball_q)
     if mesh is not None and len(mesh.axis_names) >= 2:
         use_pallas = True  # the 2-D round scores through the fused kernel
+    if use_pallas and not policy.pallas_interpret and jax.default_backend() != "tpu":
+        # compiled Pallas kernels exist only for TPU; off-chip runs (CPU
+        # meshes, CLI --cpu) must go through interpret mode or pallas_call
+        # raises at trace time
+        policy = dataclasses.replace(policy, pallas_interpret=True)
+        stats["pallas_interpret_forced"] = True
     mpack = None
     if use_pallas:
         from triplet_match_tpu.search import score_pallas as sp
