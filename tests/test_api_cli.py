@@ -176,3 +176,33 @@ def test_cli_mesh_sharded_search(tmp_path, data):
     t = np.asarray(payload["matches"][0]["transform"], np.float32)
     dt, _ = pose_delta(jnp.asarray(t), jnp.asarray(t_gt))
     assert float(dt) < 8e-3
+
+
+def test_matcher_buckets_capacities(data):
+    """Matcher pads arbitrary scene sizes into power-of-two capacity
+    buckets so repeat searches reuse compiled programs, and still finds
+    the instance."""
+    from triplet_match_tpu.api import Matcher
+    from triplet_match_tpu.search.driver import _ROUND_FN_CACHE
+
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    matcher = Matcher(model, policy=POLICY, min_capacity=2048)
+    assert matcher.bucket_capacity(1000) == 2048
+    assert matcher.bucket_capacity(2049) == 4096
+    assert matcher.bucket_capacity(4096) == 4096
+
+    sv = np.asarray(scene_cloud.valid)
+    sx = np.asarray(scene_cloud.xyz)[sv]
+    sn = np.asarray(scene_cloud.normal)[sv]
+    st = np.asarray(scene_cloud.tangent)[sv]
+    before = len(_ROUND_FN_CACHE)
+    # two different sizes, same bucket -> one compiled round program
+    m1 = matcher.match(PointCloud.from_arrays(sx, sn, st),
+                       model_match_factor=0.5, seed=3)
+    m2 = matcher.match(PointCloud.from_arrays(sx[:-7], sn[:-7], st[:-7]),
+                       model_match_factor=0.5, seed=3)
+    assert m1 and m2
+    dt, _ = pose_delta(m1[0].transform, jnp.asarray(t_gt))
+    assert float(dt) < 8e-3
+    assert len(_ROUND_FN_CACHE) <= before + 1

@@ -148,11 +148,13 @@ class Scene:
         self._cloud = cloud
         self._policy = policy
         self._prep = None
+        self._prep_mesh = None
         self.statistics = Statistics()
 
-    def _prepare(self):
-        if self._prep is None:
-            self._prep = driver.prepare_scene(self._cloud, self._policy)
+    def _prepare(self, mesh=None):
+        if self._prep is None or self._prep_mesh is not mesh:
+            self._prep = driver.prepare_scene(self._cloud, self._policy, mesh=mesh)
+            self._prep_mesh = mesh
         return self._prep
 
     def find_all_parallel(
@@ -188,7 +190,7 @@ class Scene:
             policy=self._policy,
             max_icp_iterations=max_icp_iterations,
             seed=seed,
-            prep=self._prepare(),
+            prep=self._prepare(mesh),
             mesh=mesh,
             progress=progress,
         )
@@ -213,3 +215,54 @@ class Scene:
 
     def cloud(self) -> PointCloud:
         return self._cloud
+
+
+class Matcher:
+    """Serving session: one compiled model, a stream of scenes.
+
+    Under jit every distinct scene capacity is a distinct program — the
+    round-executable cache (search/driver.py) and the AOT disk cache
+    (utils/aot.py) only pay off when capacities repeat.  ``Matcher`` pads
+    every incoming cloud's capacity up to a power-of-two bucket (floor
+    ``min_capacity``, aligned to the mesh's sp extent), so a stream of
+    arbitrarily-sized scenes funnels into a handful of compiled programs
+    instead of one per unique size.
+
+    No reference analog — the reference's demo rebuilds everything per run;
+    this is the deployment loop its library users would hand-roll::
+
+        matcher = Matcher(model, policy=SearchPolicy(...))
+        for cloud in scene_stream:
+            matches = matcher.match(cloud)
+    """
+
+    def __init__(self, model: Model, policy: SearchPolicy = DEFAULT_POLICY, *,
+                 mesh=None, min_capacity: int = 4096):
+        self._model = model
+        self._policy = policy
+        self._mesh = mesh
+        self._min_capacity = min_capacity
+        self.statistics = Statistics()
+
+    def bucket_capacity(self, n: int) -> int:
+        """Power-of-two capacity bucket for a cloud of ``n`` points,
+        aligned to the mesh sp extent when one is set."""
+        cap = max(self._min_capacity, 1 << max(int(n) - 1, 0).bit_length())
+        if self._mesh is not None and "sp" in self._mesh.shape:
+            sp = self._mesh.shape["sp"]
+            cap = -(-cap // sp) * sp
+        return cap
+
+    def match(self, cloud: PointCloud, **kwargs) -> list[driver.Match]:
+        """Search one scene; accepts any capacity, reuses bucketed programs.
+
+        Keyword arguments pass through to :meth:`Scene.find_all_parallel`
+        (``dist_thres``, ``model_match_factor``, ``seed``, ...).
+        """
+        from triplet_match_tpu.core.cloud import pad_capacity
+
+        cloud = pad_capacity(cloud, self.bucket_capacity(cloud.capacity))
+        scene = Scene(cloud, self._policy)
+        matches = scene.find_all_parallel(self._model, mesh=self._mesh, **kwargs)
+        self.statistics = scene.statistics
+        return matches
