@@ -206,3 +206,36 @@ def test_matcher_buckets_capacities(data):
     dt, _ = pose_delta(m1[0].transform, jnp.asarray(t_gt))
     assert float(dt) < 8e-3
     assert len(_ROUND_FN_CACHE) <= before + 1
+
+
+def test_model_load_prefers_stored_discretization(tmp_path, data):
+    """The pair-table keys are quantized under the compile-time params;
+    load() must reuse them instead of whatever the caller passes (review
+    round 3 — a mismatched load silently misses every bucket)."""
+    import math as _math
+
+    xyz, nrm, tan = data[:3]
+    disc40 = DiscretizationParams(distance_step_count=40,
+                                  angle_step=_math.radians(5.0))
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), disc40, POLICY).init(SAMPLE)
+    p = str(tmp_path / "m40.npz")
+    model.save(p)
+    loaded = Model.load(p)  # no params passed -> stored ones win
+    assert loaded._params == disc40
+    with pytest.warns(UserWarning, match="compiled with"):
+        loaded2 = Model.load(p, DiscretizationParams(distance_step_count=10))
+    assert loaded2._params == disc40
+
+
+def test_instantiate_skips_padded_rows(data):
+    """instantiate(all=True) must place only VALID model points — padded
+    filler rows would land as a garbage cluster at the pose translation
+    (review round 3)."""
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    padded = PointCloud.from_arrays(xyz, nrm, tan, capacity=xyz.shape[0] + 100)
+    model = Model(padded, DISC, POLICY).init(SAMPLE)
+    scene = Scene(scene_cloud, POLICY)
+    matches = scene.find_all_parallel(model, model_match_factor=0.5, seed=3)
+    assert matches
+    placed = scene.instantiate(model, matches[0])
+    assert placed.shape[0] == xyz.shape[0]  # valid rows only, not capacity

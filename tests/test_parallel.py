@@ -88,3 +88,12 @@ def test_search_round_dp_finds_pose(setup):
     # masks progressed: accepted corrs consumed, sampled firsts marked
     assert int(consumed2.sum()) > 0
     assert int(fp2.sum()) >= POLICY.num_first_samples  # 8 chips x 16 firsts, minus overlap
+
+
+def test_make_mesh_rejects_oversubscription():
+    """Asking for more devices than exist must error, not silently truncate
+    (review round 3 — the 2-/3-axis factories already assert)."""
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="need"):
+        make_mesh(len(jax.devices()) + 1)

@@ -36,7 +36,11 @@ from triplet_match_tpu.config import (
 )
 from triplet_match_tpu.core.cloud import PointCloud
 from triplet_match_tpu.index import model as model_index
-from triplet_match_tpu.index.serialize import load_model, save_model
+from triplet_match_tpu.index.serialize import (
+    load_discretization,
+    load_model,
+    save_model,
+)
 from triplet_match_tpu.search import driver
 
 
@@ -128,12 +132,25 @@ class Model:
         return self._cloud
 
     def save(self, path: str):
-        save_model(path, self.compiled)
+        save_model(path, self.compiled, self._params)
 
     @staticmethod
     def load(path: str, params: DiscretizationParams = DEFAULT_DISCRETIZATION,
              policy: SearchPolicy = DEFAULT_POLICY) -> "Model":
         m = Model.__new__(Model)
+        # prefer the params the model was COMPILED with (stored since r3):
+        # the pair-table keys are quantized under them, so querying with
+        # different params silently misses every bucket
+        stored = load_discretization(path)
+        if stored is not None and stored != params:
+            if params != DEFAULT_DISCRETIZATION:
+                import warnings
+
+                warnings.warn(
+                    f"{path} was compiled with {stored}; ignoring the "
+                    f"mismatched DiscretizationParams passed to load()",
+                    stacklevel=2)
+            params = stored
         m._params = params
         m._policy = policy
         m._compiled = load_model(path)

@@ -87,6 +87,10 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # TPU: the remote compile service has erratic latency (30s-15min
+        # for identical programs) — always run through the persistent cache
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
 
     import numpy as np
 

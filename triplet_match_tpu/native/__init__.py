@@ -44,7 +44,16 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # a shipped .so without the src/ tree is usable as-is (stale-check
+        # skipped); missing BOTH is a graceful available()==False, not a
+        # FileNotFoundError out of getmtime
+        have_src = os.path.exists(_SRC)
+        stale = (have_src and os.path.exists(_SO)
+                 and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if not os.path.exists(_SO) or stale:
+            if not have_src:
+                _build_error = f"source not found: {_SRC}"
+                return None
             err = _build()
             if err is not None:
                 _build_error = err
@@ -103,13 +112,23 @@ def build_error() -> str | None:
     return _build_error
 
 
+def _require():
+    """The loaded library, or a RuntimeError carrying the build error —
+    callers that skipped the ``available()`` gate get the real reason
+    instead of an opaque NoneType AttributeError."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"tm_native unavailable: {_build_error}")
+    return lib
+
+
 def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
 def murmur32(keys: np.ndarray) -> np.ndarray:
     """[N, D] uint32 -> [N] uint32 (bit-compatible with the reference)."""
-    lib = _load()
+    lib = _require()
     keys = np.ascontiguousarray(keys, np.uint32)
     if keys.ndim == 1:
         keys = keys[None, :]
@@ -121,7 +140,7 @@ def murmur32(keys: np.ndarray) -> np.ndarray:
 
 def extract_fields(data: bytes | np.ndarray, n: int, stride: int, offsets) -> np.ndarray:
     """Strided float32 field extraction from binary records -> [n, ncols]."""
-    lib = _load()
+    lib = _require()
     buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
     offs = np.asarray(offsets, np.int32)
     out = np.empty((n, len(offs)), np.float32)
@@ -134,7 +153,7 @@ def extract_fields(data: bytes | np.ndarray, n: int, stride: int, offsets) -> np
 
 def knn(q: np.ndarray, r: np.ndarray, k: int, valid: np.ndarray | None = None):
     """Host brute-force kNN: returns (idx [nq,k] int32, d2 [nq,k] f32)."""
-    lib = _load()
+    lib = _require()
     q = np.ascontiguousarray(q, np.float32)
     r = np.ascontiguousarray(r, np.float32)
     v = None if valid is None else np.ascontiguousarray(valid, np.uint8)
@@ -150,7 +169,7 @@ def knn(q: np.ndarray, r: np.ndarray, k: int, valid: np.ndarray | None = None):
 
 def pair_bounds(xyz, tangent, edge, lower, upper, parallel_eps=0.01):
     """Pass 1 of the model pair pass: (min_dist, max_dist, valid_count)."""
-    lib = _load()
+    lib = _require()
     xyz = np.ascontiguousarray(xyz, np.float32)
     tangent = np.ascontiguousarray(tangent, np.float32)
     edge = np.ascontiguousarray(edge, np.uint8)
@@ -167,7 +186,7 @@ def pair_bounds(xyz, tangent, edge, lower, upper, parallel_eps=0.01):
 def pair_keys(xyz, tangent, edge, lower, upper, bmin0, brange0, dist_steps,
               angle_step, parallel_eps=0.01):
     """Pass 2: packed uint32 keys [n, n] (0xFFFFFFFF = invalid pair)."""
-    lib = _load()
+    lib = _require()
     xyz = np.ascontiguousarray(xyz, np.float32)
     tangent = np.ascontiguousarray(tangent, np.float32)
     edge = np.ascontiguousarray(edge, np.uint8)
@@ -184,7 +203,7 @@ def pair_keys(xyz, tangent, edge, lower, upper, bmin0, brange0, dist_steps,
 
 def lzf_decompress(data: bytes, out_size: int) -> np.ndarray:
     """LZF stream -> [out_size] uint8 (PCD binary_compressed payloads)."""
-    lib = _load()
+    lib = _require()
     buf = np.frombuffer(data, np.uint8)
     out = np.empty(out_size, np.uint8)
     got = lib.tm_lzf_decompress(
@@ -197,7 +216,7 @@ def lzf_decompress(data: bytes, out_size: int) -> np.ndarray:
 
 def lzf_compress(data: bytes | np.ndarray) -> bytes:
     """uint8 payload -> LZF stream (liblzf-compatible)."""
-    lib = _load()
+    lib = _require()
     buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else np.ascontiguousarray(data, np.uint8)
     cap = buf.size + buf.size // 16 + 64  # literal-only worst case + slack
     out = np.empty(cap, np.uint8)
@@ -213,7 +232,7 @@ def grid_knn(q: np.ndarray, r: np.ndarray, k: int, cell: float,
              valid: np.ndarray | None = None):
     """Grid-accelerated host kNN (one-ring stencil; exact when the true
     neighbors lie within ``cell``).  Returns (idx [nq,k] int32, d2 [nq,k])."""
-    lib = _load()
+    lib = _require()
     q = np.ascontiguousarray(q, np.float32)
     r = np.ascontiguousarray(r, np.float32)
     v = None if valid is None else np.ascontiguousarray(valid, np.uint8)

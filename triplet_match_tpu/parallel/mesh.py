@@ -19,6 +19,11 @@ HYP_AXIS = "chips"
 def make_mesh(n_devices: int | None = None, axis: str = HYP_AXIS) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        # error, not silent truncation: a user asking for --dp 8 on a
+        # 4-device host would otherwise get half the sampling throughput
+        # with no hint (the 2-/3-axis factories already assert)
+        assert len(devs) >= n_devices, (
+            f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     import numpy as np
 

@@ -113,13 +113,10 @@ def finish_find_sp(
     axis = mesh.axis_names[0]
 
     def per_chip(model, scene, tangent_mask, consumed, t):
-        local = finish_find(model, scene, tangent_mask, consumed, t, dist_thres)
-        return DenseCorrs(
-            model_idx=local.model_idx,
-            valid=local.valid,
-            score=lax.psum(local.score, axis),
-            count=lax.psum(local.count, axis),
-        )
+        # finish_find owns the cross-shard reduction (score/count psum over
+        # axis_name) — same path search2d's sharded polish uses
+        return finish_find(model, scene, tangent_mask, consumed, t,
+                           dist_thres, axis_name=axis)
 
     shard = jax.shard_map(
         per_chip,

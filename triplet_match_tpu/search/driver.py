@@ -1068,6 +1068,11 @@ def instantiate(model: CompiledModel, match: Match, instantiate_all: bool = True
     model corrs.
     """
     xyz = np.asarray(model.cloud.xyz)
-    idx = np.arange(xyz.shape[0]) if instantiate_all else match.model_corrs
+    if instantiate_all:
+        # valid rows only: padded/finite-filtered filler rows are zeroed and
+        # would otherwise appear as a garbage cluster at the pose translation
+        idx = np.flatnonzero(np.asarray(model.cloud.valid))
+    else:
+        idx = match.model_corrs
     pts = xyz[idx]
     return pts @ match.transform[:3, :3].T + match.transform[:3, 3]
