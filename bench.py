@@ -28,10 +28,13 @@ def main(model_points: int | None = None):
     import jax
 
     # persistent compile cache: the remote TPU compile service has erratic
-    # latency; cache hits make repeat runs fast and robust
+    # latency; cache hits make repeat runs fast and robust.  TPU-only:
+    # XLA:CPU cache blobs pin host machine features and a blob written on a
+    # different host can SIGILL when reloaded (ROADMAP 3g).
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -156,6 +159,58 @@ def main(model_points: int | None = None):
     }))
 
 
+def _wait_for_tpu_tunnel():
+    """Bounded wait for the axon TPU tunnel before touching jax in-process.
+
+    The loopback relay can wedge on a stale session grant, in which case
+    ``jax.devices()`` hangs FOREVER (claim_timeout_s=-1) with no way to
+    recover inside this process.  Probe the tunnel in a SUBPROCESS with a
+    hard timeout and only start the real bench once a claim succeeds.
+    Probing is gentle (240s probe timeout, 5min between attempts) so a
+    slow-but-live claim is never killed and stale leases can expire
+    between probes.  If the wait budget is spent we proceed anyway and
+    leave the hang to the caller's own timeout.  No-op when no tunnel is
+    registered (CPU runs) — TM_BENCH_TPU_WAIT_S=0 disables explicitly.
+    """
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # axon platform not registered: nothing to wait for
+    budget = float(os.environ.get("TM_BENCH_TPU_WAIT_S", "3600"))
+    if budget <= 0:
+        return
+    probe = (
+        "import jax;"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/tmtpu_jax_cache');"
+        "import jax.numpy as jnp;"
+        "assert int(jnp.ones(8).sum()) == 8"
+    )
+    deadline = _t.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=240, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if attempt > 1:
+                print(f"bench: tunnel up after probe {attempt}", file=sys.stderr)
+            return
+        except Exception:
+            pass
+        if _t.monotonic() >= deadline:
+            print(f"bench: tunnel probe never succeeded within {budget:.0f}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        print(f"bench: tunnel probe {attempt} failed; retrying in 5min",
+              file=sys.stderr)
+        _t.sleep(min(300.0, max(1.0, deadline - _t.monotonic())))
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -164,6 +219,8 @@ if __name__ == "__main__":
                     help="model size for the scaling study (default: the "
                          "standard 2.4k benchmark model)")
     args = ap.parse_args()
+
+    _wait_for_tpu_tunnel()
 
     # the remote TPU runtime occasionally faults transiently
     # (UNAVAILABLE/INVALID_ARGUMENT) after long-running prior programs;
