@@ -239,3 +239,62 @@ def test_instantiate_skips_padded_rows(data):
     assert matches
     placed = scene.instantiate(model, matches[0])
     assert placed.shape[0] == xyz.shape[0]  # valid rows only, not capacity
+
+def test_multimatcher_two_models_shared_prep():
+    """MultiMatcher: one scene prep serves a two-model library; both
+    instances are found with their own models and cross-model point
+    claiming holds (no scene point matched twice)."""
+    from triplet_match_tpu.api import MultiMatcher
+    from triplet_match_tpu.io.synthetic import rotation_matrix
+
+    box_a = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    box_b = make_box_model(n_edge=240, n_face=720, size=(0.5, 0.5, 1.4), seed=1)
+    model_a = Model(PointCloud.from_arrays(*box_a), DISC, POLICY).init(SAMPLE)
+    model_b = Model(PointCloud.from_arrays(*box_b), DISC, POLICY).init(SAMPLE)
+
+    rng = np.random.default_rng(4)
+    r1 = rotation_matrix([0, 0, 1], 0.5)
+    r2 = rotation_matrix([1, 1, 0], 1.8)
+    t1 = np.array([2.5, 0, 0], np.float32)
+    t2 = np.array([-2.5, 0, 0], np.float32)
+    parts = []
+    for (xyz, nrm, tan), r, t in [(box_a, r1, t1), (box_b, r2, t2)]:
+        parts.append((xyz @ r.T + t + rng.normal(0, 0.001, xyz.shape).astype(np.float32),
+                      nrm @ r.T, tan @ r.T))
+    clutter = rng.uniform(-5, 5, (700, 3)).astype(np.float32)
+    kn = rng.normal(size=(700, 3)).astype(np.float32)
+    kn /= np.linalg.norm(kn, axis=1, keepdims=True)
+    scene = PointCloud.from_arrays(
+        np.concatenate([p[0] for p in parts] + [clutter]),
+        np.concatenate([p[1] for p in parts] + [kn]),
+        np.concatenate([p[2] for p in parts] + [np.zeros_like(clutter)]),
+    )
+
+    mm = MultiMatcher([model_a, model_b], policy=POLICY, min_capacity=1024)
+    results = mm.match(scene, dist_thres=3.0, model_match_factor=0.5,
+                       sample_params=SAMPLE, max_icp_iterations=8, seed=3)
+    assert len(results) == 2
+    assert results[0] and results[1]
+    for matches, (r, t) in zip(results, [(r1, t1), (r2, t2)]):
+        tg = np.eye(4, dtype=np.float32)
+        tg[:3, :3] = r
+        tg[:3, 3] = t
+        dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(tg))
+        assert float(dt) < 8e-3
+        assert float(np.degrees(float(dr))) < 1.0
+    # cross-model exclusion: a scene point claimed by model A's match is
+    # masked for model B (impl/scene.hpp:87-93 extended across models)
+    claimed_a = set(np.asarray(results[0][0].scene_corrs).tolist())
+    claimed_b = set(np.asarray(results[1][0].scene_corrs).tolist())
+    assert not (claimed_a & claimed_b)
+
+
+def test_multimatcher_rejects_mixed_discretization():
+    from triplet_match_tpu.api import MultiMatcher
+
+    box = make_box_model(n_edge=120, n_face=240, size=(1, 1, 1), seed=0)
+    m1 = Model(PointCloud.from_arrays(*box), DISC, POLICY)
+    m2 = Model(PointCloud.from_arrays(*box),
+               DiscretizationParams(distance_step_count=10), POLICY)
+    with pytest.raises(ValueError, match="DiscretizationParams"):
+        MultiMatcher([m1, m2])

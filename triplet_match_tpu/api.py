@@ -283,3 +283,70 @@ class Matcher:
         matches = scene.find_all_parallel(self._model, mesh=self._mesh, **kwargs)
         self.statistics = scene.statistics
         return matches
+
+
+class MultiMatcher:
+    """Serving session over a model LIBRARY: N compiled models, a stream
+    of scenes.
+
+    The multi-model analog of :class:`Matcher` (BASELINE config 5's
+    deployment shape: several part models searched in every incoming
+    scene).  Scene preparation runs ONCE per scene and is shared by all
+    models (driver.find_all_multi); matches claim scene points across
+    models (a point matched by one model is unavailable to the rest —
+    the multi-model extension of the masking protocol at
+    /root/reference/include/impl/scene.hpp:87-93).  Capacity bucketing
+    works as in :class:`Matcher`, so each (bucket, model) pair compiles
+    once for the whole stream::
+
+        mm = MultiMatcher([model_a, model_b], policy=SearchPolicy(...))
+        for cloud in scene_stream:
+            per_model = mm.match(cloud)       # list of match lists
+    """
+
+    def __init__(self, models: list[Model], policy: SearchPolicy = DEFAULT_POLICY, *,
+                 mesh=None, min_capacity: int = 4096,
+                 raycast_origins=None, min_cast_score: float | None = None):
+        if not models:
+            raise ValueError("MultiMatcher needs at least one model")
+        # one discretization for the whole library: find_all quantizes its
+        # query features under these params, which must match each model's
+        # compile-time quantization or every pair-table lookup misses
+        if any(m._params != models[0]._params for m in models[1:]):
+            raise ValueError(
+                "MultiMatcher models must share DiscretizationParams "
+                f"(got {[m._params for m in models]}); compile them with "
+                "one params set or serve them from separate Matchers")
+        self._models = list(models)
+        self._policy = policy
+        self._mesh = mesh
+        self._min_capacity = min_capacity
+        self._raycast_origins = raycast_origins
+        self._min_cast_score = min_cast_score
+
+    def bucket_capacity(self, n: int) -> int:
+        return Matcher.bucket_capacity(self, n)  # same bucketing rule
+
+    def match(self, cloud: PointCloud, **kwargs) -> list[list[driver.Match]]:
+        """Search one scene with every model; one match list per model.
+
+        Keyword arguments pass through to ``driver.find_all``
+        (``dist_thres``, ``model_match_factor``, ``seed``, ...).  All
+        models share this Matcher's ``DiscretizationParams``-compiled
+        indexes and one scene prep.
+        """
+        from triplet_match_tpu.core.cloud import pad_capacity
+
+        cloud = pad_capacity(cloud, self.bucket_capacity(cloud.capacity))
+        prep = driver.prepare_scene(cloud, self._policy, mesh=self._mesh)
+        kwargs.setdefault("discretization", self._models[0]._params)
+        return driver.find_all_multi(
+            [m.compiled for m in self._models],
+            cloud,
+            policy=self._policy,
+            prep=prep,
+            mesh=self._mesh,
+            raycast_origins=self._raycast_origins,
+            min_cast_score=self._min_cast_score,
+            **kwargs,
+        )

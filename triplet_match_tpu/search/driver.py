@@ -765,7 +765,7 @@ def find_all(
     if dist_thres is None:
         dist_thres = policy.corr_dist_factor
     if prep is None:
-        prep = prepare_scene(scene_cloud, policy)
+        prep = prepare_scene(scene_cloud, policy, mesh=mesh)
 
     from triplet_match_tpu.utils.timer import Profiler
 
@@ -995,6 +995,8 @@ def find_all_multi(
     point_radius: float | None = None,
     depth_tolerance: float | None = None,
     policy: SearchPolicy = DEFAULT_POLICY,
+    prep: ScenePrep | None = None,
+    mesh=None,
     **kwargs,
 ) -> list[list[Match]]:
     """Search several models in one scene (BASELINE config 5).
@@ -1009,11 +1011,15 @@ def find_all_multi(
     ``min_cast_score`` are dropped (the reference's disabled OptiX
     verification, impl/scene.hpp:173-187, made live).
 
-    Returns one match list per model.
+    ``prep`` reuses a caller-prepared scene (one prepare across all models
+    and, in a serving loop, across scenes of one capacity bucket — see
+    api.Matcher); ``mesh`` flows to both scene prep and every per-model
+    search.  Returns one match list per model.
     """
     from triplet_match_tpu.verify.raycast import cast_visibility_multi
 
-    prep = prepare_scene(scene_cloud, policy)
+    if prep is None:
+        prep = prepare_scene(scene_cloud, policy, mesh=mesh)
     n = prep.cloud.xyz.shape[0]
     consumed_points: np.ndarray | None = None
     all_matches: list[list[Match]] = []
@@ -1030,7 +1036,8 @@ def find_all_multi(
             )
         else:
             prep_m = prep
-        matches = find_all(model, scene_cloud, policy=policy, prep=prep_m, **kwargs)
+        matches = find_all(model, scene_cloud, policy=policy, prep=prep_m,
+                           mesh=mesh, **kwargs)
 
         if raycast_origins is not None:
             res = float(model.resolution)
