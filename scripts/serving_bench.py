@@ -46,6 +46,10 @@ def main() -> int:
                     help="size variation fraction — scene i draws its size "
                          "uniformly in [points*(1-vary), points*(1+vary)] so "
                          "the stream exercises capacity bucketing")
+    ap.add_argument("--models", type=int, default=1,
+                    help="serve a library of N box-variant models through "
+                         "MultiMatcher (shared per-scene prep) instead of "
+                         "a single-model Matcher")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
@@ -64,7 +68,7 @@ def main() -> int:
     from recall_study import build_scene
     from run_baseline_configs import _sym_delta
 
-    from triplet_match_tpu.api import Matcher, Model
+    from triplet_match_tpu.api import Matcher, Model, MultiMatcher
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
     from triplet_match_tpu.core.cloud import PointCloud
     from triplet_match_tpu.io.synthetic import make_box_model
@@ -78,10 +82,25 @@ def main() -> int:
                                    size=(1.0, 0.8, 0.6), seed=0)
     t0 = time.perf_counter()
     model = Model(PointCloud.from_arrays(xyz, nrm, tan), disc, policy).init(sample)
+    # library mode: distinct box variants; only model 0's instance is
+    # planted, so extra models exercise the shared-prep search cost while
+    # recall stays measured against model 0
+    extra_sizes = [(0.5, 0.5, 1.4), (1.3, 0.4, 0.4), (0.7, 0.7, 0.7)]
+    extras = []
+    for j in range(max(0, args.models - 1)):
+        exyz, enrm, etan = make_box_model(
+            n_edge=600, n_face=1800, size=extra_sizes[j % len(extra_sizes)],
+            seed=10 + j)
+        extras.append(Model(PointCloud.from_arrays(exyz, enrm, etan),
+                            disc, policy).init(sample))
     compile_s = time.perf_counter() - t0
 
-    matcher = Matcher(model, policy=policy,
-                      min_capacity=16384 if on_tpu else 2048)
+    min_cap = 16384 if on_tpu else 2048
+    if args.models > 1:
+        matcher = MultiMatcher([model, *extras], policy=policy,
+                               min_capacity=min_cap)
+    else:
+        matcher = Matcher(model, policy=policy, min_capacity=min_cap)
 
     rng = np.random.default_rng(args.seed)
     lat = []
@@ -98,6 +117,8 @@ def main() -> int:
                                 sample_params=sample, seed=13 + i)
         dt_s = time.perf_counter() - t1
         lat.append(dt_s)
+        if args.models > 1:
+            matches = matches[0]  # recall is measured against model 0
         ok = bool(matches)
         if ok:
             import jax.numpy as jnp
@@ -116,6 +137,7 @@ def main() -> int:
     print(json.dumps({
         "config": "serving_bench",
         "backend": jax.default_backend(),
+        "models": args.models,
         "scenes": args.scenes,
         "nominal_points": n_nominal,
         "model_compile_s": round(compile_s, 2),

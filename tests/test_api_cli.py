@@ -298,3 +298,27 @@ def test_multimatcher_rejects_mixed_discretization():
                DiscretizationParams(distance_step_count=10), POLICY)
     with pytest.raises(ValueError, match="DiscretizationParams"):
         MultiMatcher([m1, m2])
+
+def test_matcher_warmup_precompiles_buckets(data):
+    """Matcher.warmup compiles the bucket's round program with the
+    PRODUCTION policy (same cache key), so the first live scene in that
+    bucket adds no new compiled program."""
+    from triplet_match_tpu.api import Matcher
+    from triplet_match_tpu.search.driver import _ROUND_FN_CACHE
+
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    model = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    matcher = Matcher(model, policy=POLICY, min_capacity=2048)
+
+    done = matcher.warmup([1500], sample_params=SAMPLE, model_match_factor=0.5)
+    assert done == [2048]
+    n_programs = len(_ROUND_FN_CACHE)
+
+    sv = np.asarray(scene_cloud.valid)
+    live = PointCloud.from_arrays(np.asarray(scene_cloud.xyz)[sv],
+                                  np.asarray(scene_cloud.normal)[sv],
+                                  np.asarray(scene_cloud.tangent)[sv])
+    assert live.capacity <= 2048
+    matches = matcher.match(live, sample_params=SAMPLE, model_match_factor=0.5, seed=3)
+    assert matches
+    assert len(_ROUND_FN_CACHE) == n_programs  # warm bucket: no new program

@@ -284,6 +284,48 @@ class Matcher:
         self.statistics = scene.statistics
         return matches
 
+    def warmup(self, scene_sizes, **kwargs) -> list[int]:
+        """Precompile the round programs for the buckets covering
+        ``scene_sizes`` before live traffic arrives.
+
+        The compiled-program cache keys on the FULL policy, so a warmup
+        must run the production search unchanged — it matches this
+        matcher's own model against a synthetic scene of each bucket size
+        (the model instance is planted, so each warm search accepts after
+        its first rounds instead of exhausting the no-match budget).
+        Returns the bucket capacities compiled.  Serving analog of the AOT
+        disk cache (utils/aot.py): that removes the per-PROCESS cliff,
+        this removes the per-BUCKET one.
+        """
+        done = []
+        for cap in sorted({self.bucket_capacity(int(s)) for s in scene_sizes}):
+            self.match(_warmup_scene(self._model, cap), **kwargs)
+            done.append(cap)
+        return done
+
+
+def _warmup_scene(model: Model, capacity: int) -> PointCloud:
+    """Synthetic warmup scene: the matcher's model planted at identity in
+    uniform clutter, sized one point under ``capacity`` so bucketing maps
+    it exactly there.  Clutter points carry random unit normals and no
+    tangents (plain surface points)."""
+    mc = model.compiled.cloud
+    mv = np.asarray(mc.valid)
+    xyz = np.asarray(mc.xyz)[mv]
+    nrm = np.asarray(mc.normal)[mv]
+    tan = np.asarray(mc.tangent)[mv]
+    n_clutter = max(int(capacity) - 1 - xyz.shape[0], 0)
+    rng = np.random.default_rng(0)
+    ext = 4.0 * float(model.compiled.diameter)
+    c_xyz = rng.uniform(-ext, ext, (n_clutter, 3)).astype(np.float32)
+    c_nrm = rng.normal(size=(n_clutter, 3)).astype(np.float32)
+    c_nrm /= np.maximum(np.linalg.norm(c_nrm, axis=1, keepdims=True), 1e-9)
+    return PointCloud.from_arrays(
+        np.concatenate([xyz, c_xyz])[: capacity - 1],
+        np.concatenate([nrm, c_nrm])[: capacity - 1],
+        np.concatenate([tan, np.zeros_like(c_xyz)])[: capacity - 1],
+    )
+
 
 class MultiMatcher:
     """Serving session over a model LIBRARY: N compiled models, a stream
@@ -350,3 +392,13 @@ class MultiMatcher:
             min_cast_score=self._min_cast_score,
             **kwargs,
         )
+
+    def warmup(self, scene_sizes, **kwargs) -> list[int]:
+        """Precompile bucket programs before traffic (see Matcher.warmup).
+        Plants model 0; every model in the library searches each warmup
+        scene, so all (bucket, model) programs compile."""
+        done = []
+        for cap in sorted({self.bucket_capacity(int(s)) for s in scene_sizes}):
+            self.match(_warmup_scene(self._models[0], cap), **kwargs)
+            done.append(cap)
+        return done
