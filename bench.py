@@ -166,9 +166,11 @@ def _wait_for_tpu_tunnel():
     ``jax.devices()`` hangs FOREVER (claim_timeout_s=-1) with no way to
     recover inside this process.  Probe the tunnel in a SUBPROCESS with a
     hard timeout and only start the real bench once a claim succeeds.
-    Probing is gentle (240s probe timeout, 5min between attempts) so a
-    slow-but-live claim is never killed and stale leases can expire
-    between probes.  If the wait budget is spent we proceed anyway and
+    Probing is gentle (240s probe timeout, 5min between attempts — the
+    smoke op itself is trivial, so 240s covers claim latency; an extreme
+    compile-latency spike can still get a probe killed, which is why the
+    sleep between attempts stays long enough for any stale lease to
+    expire) so stale leases can clear between probes.  If the wait budget is spent we proceed anyway and
     leave the hang to the caller's own timeout.  No-op when no tunnel is
     registered (CPU runs) — TM_BENCH_TPU_WAIT_S=0 disables explicitly.
     """

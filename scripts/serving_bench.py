@@ -53,16 +53,22 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
+    if args.scenes < 2:
+        # warm stats need at least one post-compile scene; never report the
+        # cold first scene as warm latency
+        ap.error("--scenes must be >= 2 (scene 0 pays trace+compile)")
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # TPU-only: XLA:CPU cache blobs pin host machine features and can
+        # SIGILL when reloaded cross-host (ROADMAP 3g / bench.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     n_nominal = args.points or (131072 if on_tpu else 8192)
 
     from recall_study import build_scene
@@ -101,6 +107,9 @@ def main() -> int:
                                min_capacity=min_cap)
     else:
         matcher = Matcher(model, policy=policy, min_capacity=min_cap)
+    # hold every (bucket, model) program for the whole stream — the default
+    # LRU bound would evict (and the "programs" metric would silently cap)
+    driver.reserve_round_cache(4 * args.models)
 
     rng = np.random.default_rng(args.seed)
     lat = []
@@ -131,7 +140,7 @@ def main() -> int:
               f"cap={matcher.bucket_capacity(cloud.capacity)} "
               f"{dt_s:.2f}s found={ok}", file=sys.stderr)
 
-    warm = sorted(lat[1:]) if len(lat) > 1 else sorted(lat)
+    warm = sorted(lat[1:])
     p50 = warm[len(warm) // 2]
     p95 = warm[min(len(warm) - 1, int(len(warm) * 0.95))]
     print(json.dumps({

@@ -43,3 +43,6 @@ step recall500k 7200 python scripts/recall_study.py --seeds 10 --points 500000
 step configs  10800 python scripts/run_baseline_configs.py --configs 1,2,3,4,5,6
 step bench2    1800 python bench.py
 echo "[queue] ALL DONE $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+# appended mid-round (session 4): serving-loop evidence on hardware
+step serving  3600 python scripts/serving_bench.py --scenes 12
+echo "[queue] ALL DONE (incl. serving) $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"

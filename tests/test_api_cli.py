@@ -322,3 +322,30 @@ def test_matcher_warmup_precompiles_buckets(data):
     matches = matcher.match(live, sample_params=SAMPLE, model_match_factor=0.5, seed=3)
     assert matches
     assert len(_ROUND_FN_CACHE) == n_programs  # warm bucket: no new program
+
+def test_multimatcher_warmup_and_statistics(data):
+    """MultiMatcher.warmup plants every library model (cheap accept path),
+    grows the LRU to hold the warmed set, and live matches in a warmed
+    bucket add no program; statistics aggregates across models."""
+    from triplet_match_tpu.api import MultiMatcher
+    from triplet_match_tpu.search.driver import _ROUND_FN_CACHE
+
+    xyz, nrm, tan, scene_cloud, t_gt = data
+    box_b = make_box_model(n_edge=240, n_face=720, size=(0.5, 0.5, 1.4), seed=1)
+    model_a = Model(PointCloud.from_arrays(xyz, nrm, tan), DISC, POLICY).init(SAMPLE)
+    model_b = Model(PointCloud.from_arrays(*box_b), DISC, POLICY).init(SAMPLE)
+    mm = MultiMatcher([model_a, model_b], policy=POLICY, min_capacity=2048)
+
+    assert mm.warmup([1500], sample_params=SAMPLE, model_match_factor=0.5) == [2048]
+    n_programs = len(_ROUND_FN_CACHE)
+
+    sv = np.asarray(scene_cloud.valid)
+    live = PointCloud.from_arrays(np.asarray(scene_cloud.xyz)[sv],
+                                  np.asarray(scene_cloud.normal)[sv],
+                                  np.asarray(scene_cloud.tangent)[sv])
+    results = mm.match(live, sample_params=SAMPLE, model_match_factor=0.5, seed=3)
+    assert len(_ROUND_FN_CACHE) == n_programs
+    assert results[0]  # model A's instance is in the scene
+    assert mm.statistics.rounds > 0
+    assert mm.statistics.hypotheses_scored > 0
+    assert mm.statistics.matches_accepted == sum(len(r) for r in results)

@@ -262,13 +262,9 @@ class Matcher:
         self.statistics = Statistics()
 
     def bucket_capacity(self, n: int) -> int:
-        """Power-of-two capacity bucket for a cloud of ``n`` points,
-        aligned to the mesh sp extent when one is set."""
-        cap = max(self._min_capacity, 1 << max(int(n) - 1, 0).bit_length())
-        if self._mesh is not None and "sp" in self._mesh.shape:
-            sp = self._mesh.shape["sp"]
-            cap = -(-cap // sp) * sp
-        return cap
+        """Capacity bucket for a cloud of ``n`` points (see
+        :func:`_bucket_capacity`)."""
+        return _bucket_capacity(n, self._min_capacity, self._mesh)
 
     def match(self, cloud: PointCloud, **kwargs) -> list[driver.Match]:
         """Search one scene; accepts any capacity, reuses bucketed programs.
@@ -297,33 +293,67 @@ class Matcher:
         disk cache (utils/aot.py): that removes the per-PROCESS cliff,
         this removes the per-BUCKET one.
         """
+        caps = sorted({self.bucket_capacity(int(s)) for s in scene_sizes})
+        driver.reserve_round_cache(len(caps))
         done = []
-        for cap in sorted({self.bucket_capacity(int(s)) for s in scene_sizes}):
-            self.match(_warmup_scene(self._model, cap), **kwargs)
+        for cap in caps:
+            self.match(_warmup_scene([self._model], cap), **kwargs)
             done.append(cap)
         return done
 
 
-def _warmup_scene(model: Model, capacity: int) -> PointCloud:
-    """Synthetic warmup scene: the matcher's model planted at identity in
-    uniform clutter, sized one point under ``capacity`` so bucketing maps
-    it exactly there.  Clutter points carry random unit normals and no
-    tangents (plain surface points)."""
-    mc = model.compiled.cloud
-    mv = np.asarray(mc.valid)
-    xyz = np.asarray(mc.xyz)[mv]
-    nrm = np.asarray(mc.normal)[mv]
-    tan = np.asarray(mc.tangent)[mv]
-    n_clutter = max(int(capacity) - 1 - xyz.shape[0], 0)
+def _bucket_capacity(n: int, min_capacity: int, mesh) -> int:
+    """Smallest serving capacity bucket >= ``n``.
+
+    Buckets are powers of two (floor ``min_capacity``), rounded up to the
+    mesh sp extent when one is set (sp-sharded scene arrays need the
+    capacity divisible by sp).  IDEMPOTENT by construction — a value the
+    function returned maps to itself — so warmup scenes built at a bucket
+    land in that bucket even when sp alignment makes it a non-power-of-two
+    (the smallest-aligned-bucket search below; a naive next-pow2-of-n
+    re-bucket would jump an aligned 8195 to 16385).
+    """
+    sp = 1
+    if mesh is not None and "sp" in mesh.shape:
+        sp = mesh.shape["sp"]
+    align = lambda c: -(-c // sp) * sp  # noqa: E731
+    p = 1 << max(int(min_capacity) - 1, 0).bit_length()
+    while align(p) < n:
+        p <<= 1
+    return align(p)
+
+
+def _warmup_scene(models: list[Model], capacity: int) -> PointCloud:
+    """Synthetic warmup scene: one instance of EVERY library model planted
+    (spread along x so they don't overlap) in uniform clutter, sized to
+    ``capacity`` so bucketing maps it exactly there.  Planting every model
+    keeps each per-model warm search on the cheap accept path instead of
+    exhausting the full no-match sample budget.  Clutter points carry
+    random unit normals and no tangents (plain surface points)."""
+    parts = []
+    offset = 0.0
+    for m in models:
+        mc = m.compiled.cloud
+        mv = np.asarray(mc.valid)
+        d = float(m.compiled.diameter)
+        shift = np.array([offset + d, 0.0, 0.0], np.float32)
+        parts.append((np.asarray(mc.xyz)[mv] + shift,
+                      np.asarray(mc.normal)[mv],
+                      np.asarray(mc.tangent)[mv]))
+        offset += 2.5 * d
+    xyz = np.concatenate([p[0] for p in parts])
+    nrm = np.concatenate([p[1] for p in parts])
+    tan = np.concatenate([p[2] for p in parts])
+    n_clutter = max(int(capacity) - xyz.shape[0], 0)
     rng = np.random.default_rng(0)
-    ext = 4.0 * float(model.compiled.diameter)
+    ext = max(2.0 * offset, 4.0 * float(models[0].compiled.diameter))
     c_xyz = rng.uniform(-ext, ext, (n_clutter, 3)).astype(np.float32)
     c_nrm = rng.normal(size=(n_clutter, 3)).astype(np.float32)
     c_nrm /= np.maximum(np.linalg.norm(c_nrm, axis=1, keepdims=True), 1e-9)
     return PointCloud.from_arrays(
-        np.concatenate([xyz, c_xyz])[: capacity - 1],
-        np.concatenate([nrm, c_nrm])[: capacity - 1],
-        np.concatenate([tan, np.zeros_like(c_xyz)])[: capacity - 1],
+        np.concatenate([xyz, c_xyz])[:capacity],
+        np.concatenate([nrm, c_nrm])[:capacity],
+        np.concatenate([tan, np.zeros_like(c_xyz)])[:capacity],
     )
 
 
@@ -365,9 +395,10 @@ class MultiMatcher:
         self._min_capacity = min_capacity
         self._raycast_origins = raycast_origins
         self._min_cast_score = min_cast_score
+        self.statistics = Statistics()
 
     def bucket_capacity(self, n: int) -> int:
-        return Matcher.bucket_capacity(self, n)  # same bucketing rule
+        return _bucket_capacity(n, self._min_capacity, self._mesh)
 
     def match(self, cloud: PointCloud, **kwargs) -> list[list[driver.Match]]:
         """Search one scene with every model; one match list per model.
@@ -382,7 +413,7 @@ class MultiMatcher:
         cloud = pad_capacity(cloud, self.bucket_capacity(cloud.capacity))
         prep = driver.prepare_scene(cloud, self._policy, mesh=self._mesh)
         kwargs.setdefault("discretization", self._models[0]._params)
-        return driver.find_all_multi(
+        results = driver.find_all_multi(
             [m.compiled for m in self._models],
             cloud,
             policy=self._policy,
@@ -392,13 +423,29 @@ class MultiMatcher:
             min_cast_score=self._min_cast_score,
             **kwargs,
         )
+        # aggregate observability across the per-model searches (Matcher
+        # parity); per-model snapshots stay in driver.LAST_MULTI_SEARCH_STATS
+        per_model = driver.LAST_MULTI_SEARCH_STATS
+        self.statistics = Statistics(
+            rejection_rate=(sum(s.get("rejection_rate", 0.0) for s in per_model)
+                            / max(len(per_model), 1)),
+            rounds=sum(s.get("rounds", 0) for s in per_model),
+            hypotheses_scored=sum(s.get("hypotheses_scored", 0) for s in per_model),
+            matches_accepted=sum(len(r) for r in results),
+        )
+        return results
 
     def warmup(self, scene_sizes, **kwargs) -> list[int]:
         """Precompile bucket programs before traffic (see Matcher.warmup).
-        Plants model 0; every model in the library searches each warmup
-        scene, so all (bucket, model) programs compile."""
+        One instance of EVERY library model is planted per warmup scene,
+        so all (bucket, model) programs compile on the cheap accept path.
+        Grows the round-executable LRU to hold the whole warmed set first
+        (driver.reserve_round_cache) — otherwise models x buckets > the
+        default bound would evict the earliest programs before traffic."""
+        caps = sorted({self.bucket_capacity(int(s)) for s in scene_sizes})
+        driver.reserve_round_cache(len(caps) * len(self._models))
         done = []
-        for cap in sorted({self.bucket_capacity(int(s)) for s in scene_sizes}):
-            self.match(_warmup_scene(self._models[0], cap), **kwargs)
+        for cap in caps:
+            self.match(_warmup_scene(self._models, cap), **kwargs)
             done.append(cap)
         return done

@@ -667,6 +667,10 @@ def adaptive_inner_bound(prep: "ScenePrep", model: CompiledModel,
 
 LAST_SEARCH_STATS: dict = {}
 
+# per-model snapshots of LAST_SEARCH_STATS from the most recent
+# find_all_multi call (one dict per model, in model order)
+LAST_MULTI_SEARCH_STATS: list = []
+
 # jitted round executables keyed by (mesh-or-"single", config dataclasses) —
 # see find_all.  LRU-bounded: each entry pins a compiled executable (plus a
 # Mesh key holding device references), and parameter sweeps that construct
@@ -679,6 +683,17 @@ _ROUND_FN_CACHE: dict = {}
 def clear_round_cache() -> None:
     """Drop all cached round executables (frees compiled programs)."""
     _ROUND_FN_CACHE.clear()
+
+
+def reserve_round_cache(n: int) -> None:
+    """Grow the round-executable LRU to hold at least ``n`` programs.
+
+    Serving sessions that legitimately need many resident programs (a
+    MultiMatcher warming models x buckets) must raise the bound BEFORE
+    warmup, or the LRU evicts the earliest warmed entries before traffic
+    arrives.  Never shrinks (sweeps rely on the small default)."""
+    global _ROUND_FN_CACHE_MAX
+    _ROUND_FN_CACHE_MAX = max(_ROUND_FN_CACHE_MAX, int(n))
 
 
 def _publish_stats(stats: dict, profiler=None) -> None:
@@ -1023,6 +1038,7 @@ def find_all_multi(
     n = prep.cloud.xyz.shape[0]
     consumed_points: np.ndarray | None = None
     all_matches: list[list[Match]] = []
+    LAST_MULTI_SEARCH_STATS.clear()
 
     for model in models:
         if consumed_points is not None:
@@ -1038,6 +1054,7 @@ def find_all_multi(
             prep_m = prep
         matches = find_all(model, scene_cloud, policy=policy, prep=prep_m,
                            mesh=mesh, **kwargs)
+        LAST_MULTI_SEARCH_STATS.append(dict(LAST_SEARCH_STATS))
 
         if raycast_origins is not None:
             res = float(model.resolution)
