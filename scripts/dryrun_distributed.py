@@ -108,6 +108,23 @@ def child(coordinator: str, process_id: int, num_processes: int) -> int:
         "dr_deg": round(float(np.degrees(float(dr))), 4),
     }
     assert float(dt) < 6e-3 and float(np.degrees(float(dr))) < 0.5, row
+
+    # --- full find_all host loop on the same global mesh (VERDICT r2 #5 /
+    # round-3 review: the multi-instance loop reads consumed/fp/new_corr
+    # with np.asarray, which requires replicate_outputs under
+    # process_count > 1 — this exercises exactly that path) ---
+    from triplet_match_tpu.search.driver import find_all
+
+    matches = find_all(
+        model, scene, policy=policy, sample_params=sample, discretization=disc,
+        model_match_factor=0.5, seed=7, prep=prep, mesh=mesh,
+    )
+    assert matches, "find_all accepted nothing on the multi-controller mesh"
+    dt2, dr2 = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    row["find_all_matches"] = len(matches)
+    row["find_all_dt_mm"] = round(float(dt2) * 1000, 4)
+    assert float(dt2) < 6e-3, row
+
     print(json.dumps(row), flush=True)
     jax.distributed.shutdown()
     return 0

@@ -17,6 +17,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Bit widths for packing (d0, a1, a2) -> uint32.  f3 duplicates f0
 # (impl/feature.hpp:31) so it carries no extra information and is not packed.
@@ -75,9 +76,9 @@ def max_angle_bins(params) -> int:
 # MurmurHash3_x86_32 (seed 42) — bit-exact port of impl/discretize.hpp:12-45.
 # ---------------------------------------------------------------------------
 
-_MURMUR_SEED = jnp.uint32(42)
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
+_MURMUR_SEED = np.uint32(42)
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
 
 
 def _rotl32(x: jax.Array, r: int) -> jax.Array:

@@ -43,7 +43,7 @@ from triplet_match_tpu.ops import knn as knn_ops
 from triplet_match_tpu.ops.curvature import edge_mask as edge_mask_op
 from triplet_match_tpu.ops.curvature import principal_curvatures
 
-_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+_INVALID_KEY = np.uint32(0xFFFFFFFF)
 
 # voxel-count threshold above which the LUT builds by jump-flood (ops/jfa.py)
 # instead of exact brute 1-NN over all voxel centers; ~2M voxels is where

@@ -31,10 +31,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_SENTINEL = jnp.int32(0x7FFFFFFF)  # sorts after every packed cell id
-_INF = jnp.float32(3.0e38)
+_SENTINEL = np.int32(0x7FFFFFFF)  # sorts after every packed cell id
+_INF = np.float32(3.0e38)
 
 
 class GridIndex(NamedTuple):

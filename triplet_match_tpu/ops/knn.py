@@ -22,9 +22,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)
 _REFINE_PAD = 8
 
 

@@ -17,8 +17,12 @@ Conventions for multi-controller use of this package:
 * scene-length arrays become global sharded Arrays via
   :func:`make_global_cloud` / :func:`make_global_array` (each process
   supplies the full local copy; JAX slices out the shards it owns);
-* ``driver.find_all``'s host loop reads back only replicated outputs
-  (accept flags, counts, poses), so it runs identically on every process.
+* ``driver.find_all``'s host loop reads back only fully-replicated
+  outputs: under ``jax.process_count() > 1`` it requests
+  ``replicate_outputs=True`` from ``search_round_2d`` (the sp-sharded
+  consumed/fp/new_corr/model_idx outputs are all-gathered over sp inside
+  the round), so every np.asarray read is fully addressable and the loop
+  runs identically on every process.
 
 Validated by ``scripts/dryrun_distributed.py``: 2 CPU processes x 4
 virtual devices each form an 8-device (dp, sp) mesh and run one
@@ -32,9 +36,9 @@ import os
 
 import numpy as np
 
-DCN_AXIS = "dcn"
-DP_AXIS = "dp"
-SP_AXIS = "sp"
+# single home for the axis-name contract: search_round_2d resolves axes by
+# these names (mesh.shape[DP_AXIS], lax.axis_index(SP_AXIS))
+from triplet_match_tpu.parallel.search2d import DCN_AXIS, DP_AXIS, SP_AXIS  # noqa: F401
 
 
 def initialize(coordinator_address: str | None = None,

@@ -44,6 +44,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -61,7 +62,7 @@ DCN_AXIS = "dcn"
 DP_AXIS = "dp"
 SP_AXIS = "sp"
 
-_INF = jnp.float32(3.0e38)
+_INF = np.float32(3.0e38)
 
 
 def make_mesh_2d(dp: int, sp: int) -> Mesh:
@@ -152,13 +153,23 @@ def search_round_2d(
     sample_params: SampleParams,
     policy: SearchPolicy,
     max_icp_iterations: int,
+    replicate_outputs: bool = False,
 ):
     """One search round on a (dp, sp) mesh.
 
     Returns (RoundResult, consumed', fp') — per-point fields sharded over
-    sp, everything else replicated.  With the same key, a (1, 1) mesh
-    reproduces the single-chip ``search_round`` byte-for-byte on sampling
-    and within float-reduction tolerance on poses.
+    sp, everything else replicated.  Each dp chunk folds its dp index into
+    the key (``fold_in(key, dp_i)``), so a (1, 1) mesh reproduces the
+    single-chip ``search_round`` run with ``fold_in(key, 0)`` — NOT with
+    the raw key — byte-for-byte on sampling and within float-reduction
+    tolerance on poses (tests/test_parallel2d.py pins this).
+
+    ``replicate_outputs=True`` all-gathers the sp-sharded outputs
+    (new_corr/model_idx/consumed/fp) over the sp axis so every output is
+    fully replicated — required on MULTI-CONTROLLER runtimes, where
+    driver.find_all's host loop reads these with np.asarray and a
+    non-fully-addressable sharded array would raise.  One [F, N]-bool +
+    [F, N]-int32 + 2x[N]-bool gather per round, riding ICI.
     """
     b1, b2 = policy.num_first_samples, policy.num_second_samples
     qcap = policy.query_cap
@@ -285,64 +296,19 @@ def search_round_2d(
         hyp_axes = (DCN_AXIS, DP_AXIS) if has_dcn else DP_AXIS
         n_hyp_all = lax.psum(n_hyp, hyp_axes)
 
-        # --- 6. ICP + greedy acceptance with sp reductions ---
-        # reference-faithful relaxed ICP; the tight polish is gated on
-        # acceptance below (same structure as driver.finalize_round)
-        icp = jax.vmap(
-            lambda t: icp_refine(
-                model, cloud, tangent_mask, consumed, t, dist_thres,
-                max_icp_iterations,
-                tight_iterations=0,
-                weighted_distance=policy.weighted_distance,
-                negative_scores=policy.negative_scores,
-                point_to_plane=policy.icp_point_to_plane,
-                samples_on_all=policy.samples_on_all,
-                axis_name=SP_AXIS,
-            )
-        )(t_best)
-        corr_valid = icp.corrs.valid  # [F, Nl] sharded
-        fin_counts = icp.corrs.count  # [F] replicated (psum'd)
+        # --- 6. ICP + greedy acceptance + gated tight polish, shared with
+        # the single-chip path (driver.accept_and_polish) — axis_name=sp
+        # makes every count/claim reduction psum over the scene shards;
+        # accept is replicated (psum'd scores), so every device takes the
+        # same branches and the in-branch sp collectives stay aligned
+        from triplet_match_tpu.search.driver import accept_and_polish
 
-        order = jnp.argsort(-fin_counts)
-        min_pts = jnp.floor(
-            model_match_factor * model.n_edge.astype(jnp.float32)
-        ).astype(jnp.int32)
-        min_pts_all = jnp.floor(
-            model_match_factor * model.n_all.astype(jnp.float32)
-        ).astype(jnp.int32)
-
-        def accept_step(used, f):
-            cv = corr_valid[f]
-            new = cv & ~used
-            score_t = lax.psum(jnp.sum((new & tangent_mask).astype(jnp.int32)), SP_AXIS)
-            score_all = lax.psum(jnp.sum(new.astype(jnp.int32)), SP_AXIS)
-            ok = (score_t >= min_pts) & (score_all >= min_pts_all)
-            used = jnp.where(ok, used | cv, used)
-            return used, (ok, new)
-
-        _, (acc_ord, new_ord) = lax.scan(accept_step, consumed, order)
-        inv_order = jnp.argsort(order)
-        accept = acc_ord[inv_order]
-        new_corr = new_ord[inv_order]
-
-        consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
-
-        t_fin = icp.transform
-        corr_midx = icp.corrs.model_idx
-        fin_scores = icp.corrs.score
-        if max_icp_iterations > 0:
-            # accept is replicated (psum'd scores), so every device takes
-            # the same branch and the in-branch sp collectives stay aligned
-            from triplet_match_tpu.search.driver import polish_accepted
-
-            t_fin, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
-                polish_accepted(
-                    model, cloud, tangent_mask, consumed, dist_thres, policy,
-                    t_fin, accept, order, acc_ord, inv_order,
-                    (new_corr, corr_midx, fin_counts, fin_scores, consumed_next),
-                    axis_name=SP_AXIS,
-                )
-            )
+        (t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores,
+         consumed_next) = accept_and_polish(
+            model, cloud, tangent_mask, consumed, t_best, dist_thres,
+            model_match_factor, policy=policy,
+            max_icp_iterations=max_icp_iterations, axis_name=SP_AXIS,
+        )
 
         # fp marks this shard's sampled firsts (global -> local index)
         f_local_idx = f_gidx - offset
@@ -352,6 +318,14 @@ def search_round_2d(
             in_shard.astype(jnp.int32)
         )
         fp_next = fp_mask | (lax.psum(fp_marks, hyp_axes) > 0)
+
+        if replicate_outputs:
+            # multi-controller: the host loop reads these with np.asarray,
+            # which requires fully-addressable (replicated) arrays
+            new_corr = lax.all_gather(new_corr, SP_AXIS, axis=1, tiled=True)
+            corr_midx = lax.all_gather(corr_midx, SP_AXIS, axis=1, tiled=True)
+            consumed_next = lax.all_gather(consumed_next, SP_AXIS, tiled=True)
+            fp_next = lax.all_gather(fp_next, SP_AXIS, tiled=True)
 
         result = RoundResult(
             transform=t_fin,
@@ -364,18 +338,20 @@ def search_round_2d(
         )
         return result, consumed_next, fp_next
 
+    pt_spec = P() if replicate_outputs else P(SP_AXIS)
+    corr_spec = P() if replicate_outputs else P(None, SP_AXIS)
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), P(SP_AXIS), P(SP_AXIS), P(SP_AXIS), P(SP_AXIS), P(), P(), P()),
         out_specs=(
             RoundResult(
-                transform=P(), accept=P(), new_corr=P(None, SP_AXIS),
-                model_idx=P(None, SP_AXIS), count=P(), score=P(),
+                transform=P(), accept=P(), new_corr=corr_spec,
+                model_idx=corr_spec, count=P(), score=P(),
                 hypotheses_scored=P(),
             ),
-            P(SP_AXIS),
-            P(SP_AXIS),
+            pt_spec,
+            pt_spec,
         ),
         check_vma=False,
     )

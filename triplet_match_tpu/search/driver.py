@@ -396,24 +396,58 @@ def finalize_round(
     devices).  Returns (RoundResult, consumed', fp').
     """
     cloud = prep.cloud
+    fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
+    t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
+        accept_and_polish(
+            model, cloud, prep.tangent_mask, consumed, t_best, dist_thres,
+            model_match_factor, policy=policy,
+            max_icp_iterations=max_icp_iterations,
+        )
+    )
+    result = RoundResult(
+        transform=t_fin,
+        accept=accept,
+        new_corr=new_corr,
+        model_idx=corr_midx,
+        count=fin_counts,
+        score=fin_scores,
+        hypotheses_scored=n_hyp,
+    )
+    return result, consumed_next, fp_next
+
+
+def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
+                      model_match_factor, *, policy: SearchPolicy,
+                      max_icp_iterations: int, axis_name: str | None = None):
+    """Relaxed ICP + greedy acceptance + gated tight polish — the join tail
+    shared by every round flavor (single-chip ``finalize_round``, dp, and
+    the sp-sharded 2-D round, which passes ``axis_name`` so the count/claim
+    reductions psum over the scene shards).  Single home so an acceptance
+    fix can never land in one path and miss another.
+
+    Returns (t_fin, accept, new_corr, model_idx, counts, scores,
+    consumed').  ``new_corr``/``model_idx``/``consumed'`` are shaped like
+    the (possibly sharded) scene axis of ``cloud``.
+    """
     # reference-faithful relaxed ICP only; the tight polish runs AFTER (and
     # gated on) acceptance — it improves the reported pose, never which
     # matches are accepted, so the no-match confirmation rounds skip its
     # finish_find passes entirely (3 of the 5 per round at 131k — ROADMAP 3e)
     icp = jax.vmap(
         lambda t: icp_refine(
-            model, cloud, prep.tangent_mask, consumed, t, dist_thres, max_icp_iterations,
+            model, cloud, tangent_mask, consumed, t, dist_thres, max_icp_iterations,
             tight_iterations=0,
             weighted_distance=policy.weighted_distance,
             negative_scores=policy.negative_scores,
             point_to_plane=policy.icp_point_to_plane,
             samples_on_all=policy.samples_on_all,
+            axis_name=axis_name,
         )
     )(t_best)
     t_fin = icp.transform
-    corr_valid = icp.corrs.valid  # [F, N]
+    corr_valid = icp.corrs.valid  # [F, N] (sharded N under axis_name)
     corr_midx = icp.corrs.model_idx
-    fin_counts = icp.corrs.count
+    fin_counts = icp.corrs.count  # [F] replicated (psum'd under axis_name)
     fin_scores = icp.corrs.score
 
     # --- greedy acceptance (impl/scene.hpp:193-237) ---
@@ -424,8 +458,11 @@ def finalize_round(
     def accept_step(used, f):
         cv = corr_valid[f]
         new = cv & ~used
-        score_t = jnp.sum((new & prep.tangent_mask).astype(jnp.int32))
+        score_t = jnp.sum((new & tangent_mask).astype(jnp.int32))
         score_all = jnp.sum(new.astype(jnp.int32))
+        if axis_name is not None:
+            score_t = jax.lax.psum(score_t, axis_name)
+            score_all = jax.lax.psum(score_all, axis_name)
         ok = (score_t >= min_pts) & (score_all >= min_pts_all)
         used = jnp.where(ok, used | cv, used)
         return used, (ok, new)
@@ -437,27 +474,18 @@ def finalize_round(
     new_corr = new_ord[inv_order]
 
     consumed_next = consumed | jnp.any(new_corr & accept[:, None], axis=0)
-    fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
 
     if max_icp_iterations > 0:
         t_fin, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
             polish_accepted(
-                model, cloud, prep.tangent_mask, consumed, dist_thres, policy,
+                model, cloud, tangent_mask, consumed, dist_thres, policy,
                 t_fin, accept, order, acc_ord, inv_order,
                 (new_corr, corr_midx, fin_counts, fin_scores, consumed_next),
+                axis_name=axis_name,
             )
         )
 
-    result = RoundResult(
-        transform=t_fin,
-        accept=accept,
-        new_corr=new_corr,
-        model_idx=corr_midx,
-        count=fin_counts,
-        score=fin_scores,
-        hypotheses_scored=n_hyp,
-    )
-    return result, consumed_next, fp_next
+    return t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores, consumed_next
 
 
 def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
@@ -805,7 +833,11 @@ def find_all(
                     f"sp extent {sp_ext}; pad the cloud capacity "
                     f"(core.cloud.pad_capacity)"
                 )
-            round_base = partial(search_round_2d_prep, mesh)
+            # multi-controller runtimes must receive fully-replicated
+            # outputs: the host loop below reads consumed/fp/new_corr with
+            # np.asarray, which raises on non-fully-addressable arrays
+            round_base = partial(search_round_2d_prep, mesh,
+                                 replicate_outputs=jax.process_count() > 1)
             for ax in mesh.axis_names[:-1]:
                 dp_size *= mesh.shape[ax]
         else:
@@ -836,6 +868,11 @@ def find_all(
     use_pallas = policy.scorer == "pallas" or (
         policy.scorer == "auto" and jax.default_backend() == "tpu"
     )
+    if mesh is not None and len(mesh.axis_names) >= 2:
+        use_pallas = True  # the 2-D round scores through the fused kernel
+        # (decided BEFORE the adaptive-rescore gate below: a CPU 2-axis
+        # mesh with scorer="auto" still ranks through the two-phase kernel
+        # and needs the fog-density protection just the same)
 
     # fog-density-adaptive survivor rescore (see config.adaptive_fine_rescore):
     # a fog-dominated diameter ball blurs the fine_coarse block ranking past
@@ -852,8 +889,6 @@ def find_all(
         stats["fine_rescore_full"] = True
     if ball_q is not None:
         stats["ball_population_q95"] = int(ball_q)
-    if mesh is not None and len(mesh.axis_names) >= 2:
-        use_pallas = True  # the 2-D round scores through the fused kernel
     if use_pallas and not policy.pallas_interpret and jax.default_backend() != "tpu":
         # compiled Pallas kernels exist only for TPU; off-chip runs (CPU
         # meshes, CLI --cpu) must go through interpret mode or pallas_call
@@ -864,12 +899,17 @@ def find_all(
     if use_pallas:
         from triplet_match_tpu.search import score_pallas as sp
 
-        mpack = sp.pack_model(model, coarse_points=policy.coarse_model_points,
-                              fine_points=policy.fine_model_points)  # host compaction; once per model
+        mpack = sp.pack_model_cached(
+            model, coarse_points=policy.coarse_model_points,
+            fine_points=policy.fine_model_points)  # host compaction, memoized per (model, knobs)
 
     n = prep.cloud.xyz.shape[0]
-    consumed = jnp.zeros(n, bool)
-    fp = jnp.zeros(n, bool)
+    # host arrays, not jnp: under a multi-controller mesh a committed
+    # single-device jnp array cannot be resharded into the global round
+    # program, while plain numpy inputs are treated as fully-replicated
+    # global values on every runtime (parallel/distributed.py conventions)
+    consumed = np.zeros(n, bool)
+    fp = np.zeros(n, bool)
     base_key = jax.random.PRNGKey(seed)
 
     # Cache the jitted round across find_all calls: jax.jit keys on function

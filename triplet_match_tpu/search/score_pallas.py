@@ -36,11 +36,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = jnp.float32(1.0e12)
+_BIG = np.float32(1.0e12)
 _FAR = 1.0e6  # padding coordinate for invalid points
 
 
@@ -115,6 +116,41 @@ def _coverage_subsample(xyz, valid, cap: int):
     cid = occupied(hi_c)
     _, first = np.unique(cid, return_index=True)
     return np.sort(idx[first])
+
+
+_PACK_CACHE: dict = {}
+_PACK_CACHE_MAX = 8
+
+
+def pack_model_cached(model, max_points: int = 4096, coarse_points: int = 512,
+                      fine_points: int = 1536) -> "ModelPack":
+    """Memoized :func:`pack_model`, keyed on model object identity + knobs.
+
+    Serving loops (api.Matcher) reach driver.find_all once per scene with
+    the SAME CompiledModel; the host-side coverage subsampling and the
+    multi-MB pack upload only need to happen once per (model, knobs).
+    The model is held weakly — dropping it frees the cache slot — and the
+    identity key is validated against the weakref so a recycled ``id``
+    can never serve a stale pack.
+    """
+    import weakref
+
+    key = (id(model), max_points, coarse_points, fine_points)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        ref, pack = hit
+        if ref() is model:
+            return pack
+        _PACK_CACHE.pop(key, None)  # id reused after the old model was GC'd
+    pack = pack_model(model, max_points, coarse_points, fine_points)
+    try:
+        ref = weakref.ref(model)
+    except TypeError:  # pragma: no cover - unweakrefable model type
+        return pack
+    _PACK_CACHE[key] = (ref, pack)
+    while len(_PACK_CACHE) > _PACK_CACHE_MAX:
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+    return pack
 
 
 def pack_model(model, max_points: int = 4096, coarse_points: int = 512,
