@@ -193,3 +193,62 @@ def test_cylinder_pushforward_matches_autodiff():
         want /= np.linalg.norm(want)
         got = np.asarray(cyl.tangent(state, p, jnp.asarray(v)))
         np.testing.assert_allclose(np.abs(got @ want), 1.0, atol=1e-4)
+
+
+def test_sphere_fit_project_roundtrip():
+    """Sphere trait: 2-point closed-form fit is exact on noiseless samples;
+    MSAC detection recovers center/radius under clutter; chart
+    project/unproject roundtrips; great-circle intrinsic distance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.primitives import sphere as sph
+    from triplet_match_tpu.primitives.detect import detect_sphere
+
+    rng = np.random.default_rng(0)
+    center = np.array([0.5, -0.3, 1.2], np.float32)
+    radius = 0.75
+
+    # noiseless minimal fit
+    d = rng.normal(size=(2, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    p = center + radius * d
+    st, ok = sph.fit_from_samples(None, jnp.asarray(p[0]), jnp.asarray(p[1]),
+                                  jnp.asarray(d[0]), jnp.asarray(d[1]))
+    assert bool(ok)
+    assert np.allclose(np.asarray(st.center), center, atol=1e-5)
+    assert abs(float(st.radius) - radius) < 1e-5
+
+    # detection under clutter
+    dirs = rng.normal(size=(800, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    on = center + radius * dirs + rng.normal(0, 5e-4, (800, 3)).astype(np.float32)
+    clutter = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
+    cn = rng.normal(size=(400, 3)).astype(np.float32)
+    cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+    cloud = PointCloud.from_arrays(np.concatenate([on, clutter]),
+                                   np.concatenate([dirs, cn]),
+                                   np.zeros((1200, 3), np.float32))
+    det = detect_sphere(cloud, num_hypotheses=256)
+    assert np.allclose(np.asarray(det.state.center), center, atol=5e-3)
+    assert abs(float(det.state.radius) - radius) < 5e-3
+    inl = np.asarray(det.inliers)
+    assert inl[:800].mean() > 0.95  # sphere points in
+    assert inl[800:].mean() < 0.1   # clutter out
+
+    # chart roundtrip away from the poles
+    q = np.asarray(det.state.center) + radius * dirs[np.abs(dirs[:, 2]) < 0.9]
+    uvw, valid = sph.project(det.state, jnp.asarray(q))
+    assert bool(jnp.all(valid))
+    back = sph.unproject(det.state, uvw)
+    assert float(jnp.max(jnp.linalg.norm(back - q, axis=-1))) < 5e-3
+
+    # intrinsic distance: two equator points a quarter-turn apart
+    qa = center + radius * np.array([1.0, 0.0, 0.0], np.float32)
+    qb = center + radius * np.array([0.0, 1.0, 0.0], np.float32)
+    st2 = sph._state_from_center(jnp.asarray(center), jnp.float32(radius), jnp.float32(0.01))
+    ua, _ = sph.project(st2, jnp.asarray(qa))
+    ub, _ = sph.project(st2, jnp.asarray(qb))
+    dd = float(sph.intrinsic_distance(st2, ua, ub))
+    assert abs(dd - radius * np.pi / 2) < 1e-4

@@ -79,3 +79,26 @@ def detect_cylinder(cloud, mask=None, *, key=None, num_hypotheses: int = 256,
     radial = jnp.abs(jnp.linalg.norm(loc[..., :2], axis=-1) - state.radius)
     inliers = mask & (radial <= state.threshold)
     return CylinderDetection(state, inliers)
+
+
+class SphereDetection(NamedTuple):
+    state: "sph.SphereState"
+    inliers: jax.Array  # [N] bool
+
+
+def detect_sphere(cloud, mask=None, *, key=None, num_hypotheses: int = 256,
+                  threshold=None) -> SphereDetection:
+    """RANSAC sphere detection from 2-point+normal hypotheses
+    (primitives/sphere.py — the cylinder_traits MSAC recipe on the one
+    quadric the reference's trait set lacks)."""
+    from triplet_match_tpu.primitives import sphere as sph
+
+    state = sph.fit_from_cloud(cloud, mask, key=key,
+                               num_hypotheses=num_hypotheses,
+                               threshold=threshold)
+    if mask is None:
+        mask = cloud.valid
+    radial = jnp.abs(jnp.linalg.norm(cloud.xyz - state.center, axis=-1)
+                     - state.radius)
+    inliers = mask & (radial <= state.threshold)
+    return SphereDetection(state, inliers)
