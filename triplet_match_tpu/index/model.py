@@ -139,12 +139,19 @@ def _voxel_grid_setup(lower, upper, resolution_val: float, margin: int):
     # loop's inf/inf then poisons extents with NaN -> INT_MIN
     ext = np.minimum(np.maximum(rng / (0.5 * max(resolution_val, 1e-30)), 1.0), 1e9)
     # isotropic shrink when the resolution-derived volume exceeds the HBM
-    # budget (dense models; see _MAX_LUT_VOXELS)
-    for _ in range(8):  # fixed-point: the +2*margin term shifts the solve
+    # budget (dense models; see _MAX_LUT_VOXELS).  The correction exponent
+    # counts only the axes that can still shrink — a near-1D model (one
+    # long axis, two clamped at 1) would otherwise stall: the cube-root
+    # factor under-corrects threefold per iteration and 8 rounds exit
+    # still over budget, breaking the fits-one-chip contract below.
+    for _ in range(40):  # fixed-point: the +2*margin term shifts the solve
         total = float(np.prod(ext + 2.0 * margin))
         if total <= _MAX_LUT_VOXELS:
             break
-        ext = np.maximum(ext / (total / _MAX_LUT_VOXELS) ** (1.0 / 3.0), 1.0)
+        shrinkable = ext > 1.0
+        n_s = max(int(np.sum(shrinkable)), 1)
+        f = (total / _MAX_LUT_VOXELS) ** (1.0 / n_s)
+        ext = np.where(shrinkable, np.maximum(ext / f, 1.0), ext)
     extents = (ext + 2.0 * margin).astype(np.int32)
     eps = 1e-12
     scale = np.where(rng < 1e-5, 1.0, ext / np.maximum(rng, eps))
@@ -439,11 +446,11 @@ def query_pairs(model: CompiledModel, features: jax.Array, params: Discretizatio
     Analog of ``model::query`` (impl/model.hpp:169-178) + the caller-side
     ``query_limit`` cap (impl/scene.hpp:19,310).
 
-    Buckets larger than ``cap`` are sampled with an even stride over
-    ``min(bucket, limit)`` entries instead of truncating to the bucket
-    front: for symmetric/repetitive models a bucket can hold hundreds of
-    pairs, and front-truncation would hide the same tail pairs from *every*
-    query forever.  (The reference walks an unordered_multimap bucket, so
+    Buckets larger than ``cap``/``limit`` return ``min(bucket, cap,
+    limit)`` entries sampled with an even stride over the WHOLE bucket
+    instead of truncating to the bucket front: for symmetric/repetitive
+    models a bucket can hold hundreds of pairs, and front-truncation would
+    hide the same tail pairs from *every* query forever.  (The reference walks an unordered_multimap bucket, so
     its first ``query_limit`` entries are hash-order-arbitrary; an even
     stride is the deterministic batched equivalent with full-bucket reach.)
 
@@ -463,16 +470,25 @@ def query_pairs(model: CompiledModel, features: jax.Array, params: Discretizatio
     left = jnp.searchsorted(model.keys, kf, side="left")
     right = jnp.searchsorted(model.keys, kf, side="right")
     blen = (right - left).astype(jnp.int32)
+    # number of entries RETURNED per bucket (cap and query_limit both bound
+    # it); the even stride below always spans the FULL bucket — clamping
+    # blen itself before striding would reintroduce the deterministic
+    # front-truncation bias this function exists to avoid (the tail pairs
+    # of a >limit bucket would be hidden from every query forever)
+    take = jnp.minimum(blen, cap)
     if limit is not None and limit > 0:
-        blen = jnp.minimum(blen, limit)
+        take = jnp.minimum(take, limit)
     offs = jnp.arange(cap, dtype=jnp.int32)
-    # even-stride positions: identity when the bucket fits, floor(i*len/cap)
-    # when it overflows (covers [0, len) uniformly; always < len)
+    # even-stride positions: identity when the bucket fits (blen == take),
+    # floor(i*len/take) when it overflows (covers [0, len) uniformly with
+    # distinct positions; always < len)
     pos = jnp.where(
-        blen[:, None] <= cap, offs[None, :], (offs[None, :] * blen[:, None]) // cap
+        blen[:, None] <= take[:, None],
+        offs[None, :],
+        (offs[None, :] * blen[:, None]) // jnp.maximum(take[:, None], 1),
     )
     gather_idx = left[:, None] + pos
-    valid = offs[None, :] < blen[:, None]
+    valid = offs[None, :] < take[:, None]
     gather_idx = jnp.minimum(gather_idx, model.keys.shape[0] - 1)
     pairs = model.pairs[gather_idx]
     return pairs.reshape(*shape, cap, 2), valid.reshape(*shape, cap)

@@ -33,7 +33,11 @@ def save_model(path: str, model: CompiledModel, discretization=None) -> None:
         data["disc_angle_step"] = np.float64(discretization.angle_step)
         data["disc_curvature_ratio_step_count"] = np.int32(
             discretization.curvature_ratio_step_count)
-    np.savez_compressed(path, **data)
+    # np.savez_compressed silently appends ".npz" to suffix-less paths —
+    # write through a file object so the file lands at the LITERAL path
+    # the caller logged and load_model will open
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **data)
 
 
 def load_model(path: str) -> CompiledModel:

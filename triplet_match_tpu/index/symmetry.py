@@ -74,7 +74,6 @@ def detect_self_symmetries(
     n = model.cloud.xyz.shape[0]
     consumed = jnp.zeros(n, bool)
     fp = jnp.zeros(n, bool)
-    n_valid = int(model.n_all)
 
     # force the jnp scorer: symmetry detection is offline/once-per-model
     pol = dataclasses.replace(policy, scorer="jnp", two_phase_scoring=False)

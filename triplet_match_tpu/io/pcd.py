@@ -91,6 +91,53 @@ def _parse_header(data: bytes):
     return header, offset
 
 
+def _field_layout(header) -> tuple[np.dtype, list[str]]:
+    """Structured record dtype + flat column names from a PCD header.
+
+    Single home of the FIELDS/SIZE/TYPE/COUNT expansion, shared by the
+    one-shot reader below and the streaming reader (io/stream.py) so a
+    layout fix cannot land in one and miss the other."""
+    fields = header["FIELDS"]
+    sizes = [int(s) for s in header["SIZE"]]
+    types = header["TYPE"]
+    counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+    dtype_fields, names = [], []
+    for fld, sz, ty, ct in zip(fields, sizes, types, counts):
+        base = _TYPE_MAP[(ty, sz)]
+        for c in range(ct):
+            name = fld if ct == 1 else f"{fld}_{c}"
+            names.append(name)
+            dtype_fields.append((name, base))
+    return np.dtype(dtype_fields), names
+
+
+# candidate column names per output channel: PCL normals, and the
+# reference's tangent convention PointSurfel.data_c[1..3]
+# (/root/reference/include/common:62-70)
+_COLS = {
+    "x": ("x",), "y": ("y",), "z": ("z",),
+    "nx": ("normal_x", "nx"), "ny": ("normal_y", "ny"), "nz": ("normal_z", "nz"),
+    "tx": ("tangent_x", "data_c_1", "data_c1"),
+    "ty": ("tangent_y", "data_c_2", "data_c2"),
+    "tz": ("tangent_z", "data_c_3", "data_c3"),
+}
+
+
+def _extract_columns(arr, names) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(xyz, normal, tangent) float32 from a structured record array;
+    absent channels come back zero-filled.  Shared with io/stream.py."""
+    def col(cands):
+        for c in cands:
+            if c in names:
+                return np.asarray(arr[c], np.float32)
+        return np.zeros(len(arr), np.float32)
+
+    xyz = np.stack([col(_COLS["x"]), col(_COLS["y"]), col(_COLS["z"])], 1)
+    nrm = np.stack([col(_COLS["nx"]), col(_COLS["ny"]), col(_COLS["nz"])], 1)
+    tan = np.stack([col(_COLS["tx"]), col(_COLS["ty"]), col(_COLS["tz"])], 1)
+    return xyz, nrm, tan
+
+
 def read_pcd_arrays(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a PCD into raw (xyz, normal, tangent) float32 arrays.
 
@@ -104,21 +151,9 @@ def read_pcd_arrays(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         data = f.read()
     header, offset = _parse_header(data)
 
-    fields = header["FIELDS"]
-    sizes = [int(s) for s in header["SIZE"]]
-    types = header["TYPE"]
-    counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
     n = int(header["POINTS"][0])
     mode = header["DATA"][0].lower()
-
-    dtype_fields, names = [], []
-    for fld, sz, ty, ct in zip(fields, sizes, types, counts):
-        base = _TYPE_MAP[(ty, sz)]
-        for c in range(ct):
-            name = fld if ct == 1 else f"{fld}_{c}"
-            names.append(name)
-            dtype_fields.append((name, base))
-    dt = np.dtype(dtype_fields)
+    dt, names = _field_layout(header)
 
     if mode == "binary":
         arr = np.frombuffer(data, dtype=dt, count=n, offset=offset)
@@ -143,19 +178,7 @@ def read_pcd_arrays(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     else:
         raise ValueError(f"unsupported PCD DATA mode: {mode}")
 
-    def col(*cands, default=0.0):
-        for c in cands:
-            if c in names:
-                return np.asarray(arr[c], np.float32)
-        return np.full(n, default, np.float32)
-
-    xyz = np.stack([col("x"), col("y"), col("z")], 1)
-    normal = np.stack([col("normal_x", "nx"), col("normal_y", "ny"), col("normal_z", "nz")], 1)
-    tangent = np.stack(
-        [col("tangent_x", "data_c_1", "data_c1"),
-         col("tangent_y", "data_c_2", "data_c2"),
-         col("tangent_z", "data_c_3", "data_c3")], 1)
-    return xyz, normal, tangent
+    return _extract_columns(arr, names)
 
 
 def read_pcd(path: str, capacity: int | None = None) -> PointCloud:

@@ -25,44 +25,8 @@ from typing import Iterator
 import numpy as np
 
 from triplet_match_tpu.core.cloud import PointCloud
-from triplet_match_tpu.io.pcd import _TYPE_MAP, _parse_header
-
-
-def _field_layout(header):
-    fields = header["FIELDS"]
-    sizes = [int(s) for s in header["SIZE"]]
-    types = header["TYPE"]
-    counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
-    dtype_fields, names = [], []
-    for fld, sz, ty, ct in zip(fields, sizes, types, counts):
-        base = _TYPE_MAP[(ty, sz)]
-        for c in range(ct):
-            name = fld if ct == 1 else f"{fld}_{c}"
-            names.append(name)
-            dtype_fields.append((name, base))
-    return np.dtype(dtype_fields), names
-
-
-_COLS = {
-    "x": ("x",), "y": ("y",), "z": ("z",),
-    "nx": ("normal_x", "nx"), "ny": ("normal_y", "ny"), "nz": ("normal_z", "nz"),
-    "tx": ("tangent_x", "data_c_1", "data_c1"),
-    "ty": ("tangent_y", "data_c_2", "data_c2"),
-    "tz": ("tangent_z", "data_c_3", "data_c3"),
-}
-
-
-def _extract(arr, names):
-    def col(cands):
-        for c in cands:
-            if c in names:
-                return np.asarray(arr[c], np.float32)
-        return np.zeros(len(arr), np.float32)
-
-    xyz = np.stack([col(_COLS["x"]), col(_COLS["y"]), col(_COLS["z"])], 1)
-    nrm = np.stack([col(_COLS["nx"]), col(_COLS["ny"]), col(_COLS["nz"])], 1)
-    tan = np.stack([col(_COLS["tx"]), col(_COLS["ty"]), col(_COLS["tz"])], 1)
-    return xyz, nrm, tan
+from triplet_match_tpu.io.pcd import _extract_columns as _extract
+from triplet_match_tpu.io.pcd import _field_layout, _parse_header
 
 
 def iter_pcd_chunks(path: str, chunk_points: int = 1_000_000

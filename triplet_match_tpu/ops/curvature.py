@@ -71,9 +71,12 @@ def curvature_from_neighbors(q_normal: jax.Array, nbr_normals: jax.Array,
 def principal_curvatures(cloud, k: int = 30, *, block: int = 512) -> CurvatureInfo:
     """Per-point principal curvature info over the full (padded) cloud."""
     # approximate candidate precision: curvature is a neighborhood statistic
-    idx, _ = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block,
-                 approx_candidates=True)  # [N, k]
-    return curvature_from_neighbors(cloud.normal, cloud.normal[idx])
+    idx, d2 = knn(cloud.xyz, cloud.xyz, cloud.valid, k, block=block,
+                  approx_candidates=True)  # [N, k]
+    # clouds with fewer than k valid points leave unfilled slots (index 0,
+    # d2 = +inf); mask them or point 0's normal pollutes every covariance
+    return curvature_from_neighbors(cloud.normal, cloud.normal[idx],
+                                    nbr_mask=d2 < 3e38)
 
 
 def estimate_edge_tangents(cloud, k: int = 30, *, curvature_ratio_threshold: float = 0.2,

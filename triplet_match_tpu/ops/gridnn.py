@@ -181,6 +181,16 @@ def estimate_knn_radius(
     dk = jnp.sqrt(jnp.maximum(d2[:, -1], 0.0))
     ok = valid[sub_idx] & (d2[:, -1] < _INF)
     r_all = jnp.nanquantile(jnp.where(ok, dk, jnp.nan), quantile)
+    # no sampled query has k valid neighbors (cloud smaller than k, or a
+    # consumed-out shard): nanquantile of all-NaN is NaN, which would
+    # poison build_grid's cell size into garbage dims with no error —
+    # fall back to the bounding-box diagonal (one cell spans everything,
+    # which is exact for such tiny populations)
+    bbox = jnp.linalg.norm(
+        jnp.max(jnp.where(valid[:, None], xyz, -_INF), axis=0)
+        - jnp.min(jnp.where(valid[:, None], xyz, _INF), axis=0))
+    fallback = jnp.maximum(bbox, 1e-6)
+    r_all = jnp.where(jnp.isfinite(r_all), r_all, fallback)
     if focus is None:
         return r_all
     f = ok & focus[sub_idx]

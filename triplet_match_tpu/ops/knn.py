@@ -73,8 +73,12 @@ def _scan_candidates(qb, r, inf_row, k2, ref_block, *, self_rows=None,
     Returns (cand_idx [B, k2] int32, approx_d2 [B, k2]).
     """
     # center coordinates: the matmul-expansion error scales with |coord|^2,
-    # and candidate selection must not lose the true NN to rounding
-    center = jnp.mean(r, axis=0)
+    # and candidate selection must not lose the true NN to rounding.
+    # VALIDITY-WEIGHTED mean — padded/invalid rows are zero-filled
+    # (core/cloud.py) and would otherwise drag the center toward the
+    # origin, leaving residual coordinates large on bucketed clouds
+    w = (inf_row == 0.0).astype(r.dtype)
+    center = jnp.sum(r * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
     qb = qb - center
     r = r - center
     n = r.shape[0]
@@ -275,7 +279,9 @@ def radius_sample(
     r_p = _pad_rows(r, nrb * rb).reshape(nrb, rb, 3)
     prio_p = jnp.pad(prio, (0, nrb * rb - n), constant_values=_INF).reshape(nrb, rb)
 
-    center = jnp.mean(r, axis=0)
+    # validity-weighted center (zero-filled padding rows must not shift it)
+    wv = r_valid.astype(r.dtype)
+    center = jnp.sum(r * wv[:, None], axis=0) / jnp.maximum(jnp.sum(wv), 1.0)
 
     def tile(qb):
         qb = qb - center

@@ -45,7 +45,21 @@ def _visible_against(targets, t_lambda, dirs, origin, occ, occ_valid, point_radi
         rel = occ_b - origin  # [B, 3]
         lam = jnp.dot(dirs, rel.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)  # [M, B]
-        d2 = jnp.sum(rel * rel, axis=-1)[None, :] - lam * lam
+        # perpendicular distance via the CROSS product |rel x dir|^2: the
+        # |rel|^2 - lam^2 form cancels catastrophically in f32 for
+        # occluders far from the origin (|rel|^2 ~ 1e2 m^2 carries ~1e-5
+        # absolute error — the size of r^2 for mm-scale point radii),
+        # while each cross component differences products of mixed
+        # magnitude (error ~ |rel| * eps).  Outer-product broadcasts only
+        # — XLA fuses the chain into the same [M, B] working set.
+        dx, dy, dz = (dirs[:, 0][:, None], dirs[:, 1][:, None],
+                      dirs[:, 2][:, None])
+        rx, ry, rz = (rel[:, 0][None, :], rel[:, 1][None, :],
+                      rel[:, 2][None, :])
+        c0 = dy * rz - dz * ry
+        c1 = dz * rx - dx * rz
+        c2 = dx * ry - dy * rx
+        d2 = c0 * c0 + c1 * c1 + c2 * c2
         blocked = (
             val_b[None, :]
             & (lam > 0.0)  # RayCaster.cu:58 (hitLambda < 0 -> miss)
@@ -224,6 +238,10 @@ def cast_visibility_multi(origins, model_xyz, model_valid, transform,
     run its occluder cull + compaction; the per-origin masks OR together.
     """
     origins = np.asarray(origins, np.float32).reshape(-1, 3)
+    if origins.shape[0] == 0:
+        raise ValueError(
+            "cast_visibility_multi needs at least one origin; pass "
+            "raycast_origins=None to skip verification entirely")
     vis = None
     for o in origins:
         v = cast_visibility(jnp.asarray(o), model_xyz, model_valid, transform,
