@@ -62,6 +62,12 @@ def run_one(n_pts: int):
         t_search = time.perf_counter() - t0
         dt, dr = _sym_delta(m[0].transform, t_gt) if m else (None, None)
         rows.append((t_prep, t_search, len(m), dt, dr))
+    # HBM peak (single-chip envelope evidence; None off-TPU)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        hbm_peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+    except Exception:
+        hbm_peak_gb = None
     # no-match runs leave dt/dr as None — emit found=0 rows with null deltas
     # instead of letting max() raise and mask the result as a script failure
     dts = [r[3] for r in rows if r[3] is not None]
@@ -75,6 +81,7 @@ def run_one(n_pts: int):
         "found": sum(r[2] for r in rows),
         "worst_translation_mm": round(max(dts) * 1000, 3) if dts else None,
         "worst_rotation_deg": round(max(drs), 4) if drs else None,
+        "hbm_peak_gb": hbm_peak_gb,
     }), flush=True)
 
 

@@ -5,7 +5,8 @@
 # session_id succeeds once the server releases the lease.
 # Usage: tpu_wait_then.sh <logfile> <cmd...>
 LOG="$1"; shift
-for i in $(seq 1 120); do
+ATTEMPTS="${TPU_WAIT_ATTEMPTS:-120}"
+for i in $(seq 1 "$ATTEMPTS"); do
   if timeout 90 python -c "
 import jax
 jax.config.update('jax_compilation_cache_dir', '/tmp/tmtpu_jax_cache')
@@ -19,4 +20,7 @@ print('tpu-ok')
   echo "[tpu_wait] attempt $i failed $(date +%H:%M:%S)" >>"$LOG"
   sleep 60
 done
+# exhausted retries: exit nonzero so callers never log rc=0 for a step
+# that NEVER RAN (advisor finding, round 3)
 echo "[tpu_wait] gave up" >>"$LOG"
+exit 97

@@ -285,10 +285,32 @@ def test_query_limit_caps_considered_entries(box):
     cap = 8
     limit = cap // 2
     got, valid = query_pairs(m, f[None, :], DISC, cap, limit=limit)
-    # only `limit` slots valid, all from the bucket front window
+    # only `limit` slots valid, even-strided over the WHOLE bucket (the
+    # stride spans [0, blen) regardless of which of cap/limit binds, so the
+    # tail of an over-limit bucket is never permanently hidden)
     assert int(np.asarray(valid).sum()) == limit
     got = np.asarray(got[0])[np.asarray(valid[0])]
-    np.testing.assert_array_equal(got, bucket[:limit])
+    pos = (np.arange(limit) * blen) // limit
+    np.testing.assert_array_equal(got, bucket[pos])
+    # and the sequential policy oracle reads the identical entry set
+    from triplet_match_tpu.search.oracle import _NpModel, PolicyOracle
+
+    class _P:
+        query_cap = cap
+        query_limit = limit
+
+    orc = PolicyOracle.__new__(PolicyOracle)
+    orc.m = _NpModel(m)
+    orc.disc = DISC
+    orc.policy = _P()
+    orc.bucket_read = "driver"
+    np.testing.assert_array_equal(np.asarray(orc.query(np.asarray(f))), got)
+    # ...while the default "reference" read keeps upstream's candidate
+    # richness: the first query_limit entries in table order
+    orc.bucket_read = "reference"
+    np.testing.assert_array_equal(
+        np.asarray(orc.query(np.asarray(f))), bucket[:limit]
+    )
 
 
 # ---------------------------------------------------------------------------

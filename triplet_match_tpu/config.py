@@ -75,8 +75,9 @@ class SearchPolicy:
     # dist_thres anyone passes; never read elsewhere upstream either).
     corr_dist_factor: float = 3.0
     # query_limit: max candidate model pairs consumed per feature query
-    # (impl/scene.hpp:19,310); buckets larger than query_cap are sampled by
-    # an even stride over min(bucket, query_limit) entries (index.model.query_pairs).
+    # (impl/scene.hpp:19,310); buckets larger than min(query_cap, query_limit)
+    # return that many entries at even-stride positions spanning the WHOLE
+    # bucket (index.model.query_pairs; the oracle reads the same set).
     query_limit: int = 200
     # force_exhaustive: outer bound = n_scene regardless of probability
     # (impl/scene.hpp:139-141).

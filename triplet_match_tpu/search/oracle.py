@@ -48,7 +48,10 @@ Sequential quirks faithfully preserved (each is why the oracle exists):
 Documented deviations (shared with the driver, PARITY.md): numpy rng
 instead of mt19937 (the stream is irrelevant — the reference defaults to
 clock seeds); model-query candidate order is the sorted-table order
-(upstream: implementation-defined unordered_multimap bucket order);
+(upstream: implementation-defined unordered_multimap bucket order), with
+a selectable over-limit bucket read (``bucket_read`` — "reference"
+front-walk of up to ``query_limit`` entries, or "driver" = the batched
+driver's even-stride ``min(query_cap, query_limit)`` set, see ``query``);
 ``n_model_all`` is the finite-valid count.
 """
 
@@ -139,11 +142,13 @@ class PolicyOracle:
     def __init__(self, model, prep: ScenePrep, *,
                  discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
                  policy: SearchPolicy = DEFAULT_POLICY,
-                 seed: int = 13, concurrency: int = 4):
+                 seed: int = 13, concurrency: int = 4,
+                 bucket_read: str = "reference"):
         self.m = _NpModel(model)
         self.disc = discretization
         self.policy = policy
         self.seed = seed
+        self.bucket_read = bucket_read  # over-limit bucket policy, see query()
         # the reference chunks the outer subset over hardware_concurrency()-1
         # std::async workers (impl/scene.hpp:146-157); each chunk returns its
         # own first-sufficient candidate, so the chunk count shapes behavior
@@ -266,8 +271,23 @@ class PolicyOracle:
                 return best
 
     def query(self, f):
-        """Sorted-table bucket walk, <= query_limit entries (impl/scene.hpp:19,
-        304-310; model query impl/model.hpp:169-178)."""
+        """Sorted-table bucket read with a selectable over-limit policy.
+
+        Reference: model query = unordered_multimap equal_range
+        (impl/model.hpp:169-178) walked by the caller up to ``query_limit``
+        entries (impl/scene.hpp:19,310) — i.e. a hash-order-ARBITRARY
+        subset of over-limit buckets.  Two deterministic instances of that
+        arbitrary order are supported (``bucket_read``):
+
+        * ``"reference"`` (default): the first ``query_limit`` entries in
+          table order — preserves the reference's candidate *richness*
+          (up to 200 per query), the faithful policy-oracle mode.
+        * ``"driver"``: ``min(bucket, query_cap, query_limit)`` entries at
+          even-stride positions spanning the whole bucket — the EXACT set
+          index.model.query_pairs returns (scan order = table order, which
+          the stride preserves), for A/Bs that must rule out
+          pair-visibility differences entirely.
+        """
         from triplet_match_tpu.features import discretize as dz
 
         m, disc = self.m, self.disc
@@ -278,12 +298,19 @@ class PolicyOracle:
         a1 = int(f[1] / disc.angle_step)
         a2 = int(f[2] / disc.angle_step)
         key = (d0 << (2 * dz._ANG_BITS)) | (a1 << dz._ANG_BITS) | a2
-        left = np.searchsorted(m.keys, key, side="left")
-        right = np.searchsorted(m.keys, key, side="right")
+        left = int(np.searchsorted(m.keys, key, side="left"))
+        right = int(np.searchsorted(m.keys, key, side="right"))
+        blen = right - left
+        take = blen
         limit = self.policy.query_limit
         if limit and limit > 0:
-            right = min(right, left + limit)
-        return m.pairs[left:right]
+            take = min(take, limit)
+        if getattr(self, "bucket_read", "reference") == "driver":
+            take = min(take, self.policy.query_cap)
+            if take < blen:
+                pos = (np.arange(take, dtype=np.int64) * blen) // max(take, 1)
+                return m.pairs[left + pos]
+        return m.pairs[left:left + take]
 
     def find_in_subset(self, firsts, lower2, upper2, dist_thres, accept_prob,
                        early_out_threshold, force_up, rng):
@@ -479,11 +506,13 @@ def find_all_oracle(model, prep: ScenePrep, *,
                     discretization: DiscretizationParams = DEFAULT_DISCRETIZATION,
                     policy: SearchPolicy = DEFAULT_POLICY,
                     max_icp_iterations: int = 10, seed: int = 13,
-                    concurrency: int = 4) -> list[Match]:
+                    concurrency: int = 4,
+                    bucket_read: str = "reference") -> list[Match]:
     """Run the sequential reference policy end to end.  Same signature
     shape as driver.find_all; same Match output type."""
     o = PolicyOracle(model, prep, discretization=discretization, policy=policy,
-                     seed=seed, concurrency=concurrency)
+                     seed=seed, concurrency=concurrency,
+                     bucket_read=bucket_read)
     return o.find_all(
         dist_thres=dist_thres, model_match_factor=model_match_factor,
         early_out_factor=early_out_factor, sample_params=sample_params,
