@@ -223,3 +223,114 @@ def test_early_drop_never_drops_sufficient(box_model):
     dt, dr = pose_delta(jnp.asarray(om_drop[0].transform),
                         jnp.asarray(om_full[0].transform))
     assert float(dt) < 1e-4 and float(np.degrees(float(dr))) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Non-default scoring semantics (impl/scene.hpp:27-28,468-475,534-536,317-319)
+#
+# weighted_distance / negative_scores route the driver AROUND the two-phase
+# screen (score_pallas.rank_groups: the optimistic count keep is not
+# ranking-safe for signed scores) — exactly the path a policy bug would hide
+# on.  scorer="pallas" (interpret-forced off-TPU) pins that routing; the
+# oracle executes the same semantics sequentially.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@pytest.mark.parametrize(
+    "knobs,factor",
+    [
+        pytest.param({"weighted_distance": True}, 0.5, id="weighted_distance"),
+        pytest.param({"negative_scores": True}, 0.5, id="negative_scores"),
+        pytest.param({"weighted_distance": True, "negative_scores": True}, 0.5,
+                     id="weighted+negative"),
+        # samples_on_all=False restricts correspondence eligibility to
+        # tangent-bearing points, but the reference's all-gate still divides
+        # by the FULL model size (min_points_all = accept_prob * n_model_all,
+        # impl/scene.hpp:115) — on this box (130 curvature-gated edge points,
+        # 960 total) any factor above ~0.13 is IMPOSSIBLE by construction on
+        # both sides (verified: 0.15 rejects everywhere), so the A/B runs at
+        # 0.08 where the gates are satisfiable.
+        pytest.param({"samples_on_all": False}, 0.08, id="samples_on_all_false"),
+    ],
+)
+def test_nondefault_semantics_parity(box_model, knobs, factor):
+    xyz, nrm, tan, model = box_model
+    policy = dataclasses.replace(POLICY, scorer="pallas", **knobs)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11
+    )
+    prep = prepare_scene(scene, policy)
+    kwargs = dict(dist_thres=3.0, model_match_factor=factor, sample_params=SAMPLE,
+                  discretization=DISC, policy=policy, max_icp_iterations=10)
+    dm = find_all(model, scene, seed=13, prep=prep, **kwargs)
+    om = find_all_oracle(model, prep, seed=13, **kwargs)
+    assert len(dm) >= 1
+    res = float(model.resolution)
+    if knobs.get("samples_on_all", True):
+        _match_sets_agree(dm, om, res)
+        # both recover the planted pose (modulo box symmetry: reweighting
+        # scores cannot corrupt the geometry)
+        for m in dm + om:
+            dt, dr = _sym_pose_delta(m.transform, t_gt)
+            assert dt < 6e-3 and dr < 0.5, (dt, dr)
+    else:
+        # edges-only eligibility starves the reference's 2x relaxed-gate ICP
+        # (~240 candidate points): the oracle faithfully lands ~1.6x
+        # resolution off ground truth (measured 45.7mm/2.58deg at 28.6mm
+        # resolution) while the driver's tight exact-NN polish stays sub-mm —
+        # so instance identity is asserted with a wider envelope here
+        assert len(dm) == len(om) == 1
+        a = set(dm[0].scene_corrs.tolist())
+        b = set(om[0].scene_corrs.tolist())
+        assert len(a & b) / max(len(a | b), 1) > 0.3, "different instance claimed"
+        dt, dr = _sym_pose_delta(dm[0].transform, om[0].transform)
+        assert dt < 2.0 * res and dr < 4.0, (dt, dr)
+        dt, dr = _sym_pose_delta(dm[0].transform, t_gt)
+        assert dt < 6e-3 and dr < 0.5, (dt, dr)
+    # signed scores carry the configured semantics on both sides: under
+    # negative_scores a kind-mismatch SUBTRACTS, so the score must stay
+    # finite
+    for m in dm + om:
+        assert np.isfinite(m.signed_score)
+
+
+def test_force_up_parity(box_model):
+    """force_up accepts only hypotheses whose scene->model rotation keeps +z
+    (t(2,2) ~ 1, impl/scene.hpp:317-319): with the instance planted under a
+    yaw-only rotation both sides must still find it; under a tilted rotation
+    both must reject every hypothesis and find nothing."""
+    xyz, nrm, tan, model = box_model
+    policy = dataclasses.replace(POLICY, scorer="pallas")
+    sample_up = dataclasses.replace(SAMPLE, force_up=True)
+    kwargs = dict(dist_thres=3.0, model_match_factor=0.5, sample_params=sample_up,
+                  discretization=DISC, policy=policy, max_icp_iterations=10)
+
+    # yaw-only instance: gate passes
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, rotation=rotation_matrix([0, 0, 1], 0.7),
+        translation=np.array([1.5, 0.5, 0.0], np.float32),
+        noise=0.001, n_clutter=400, clutter_extent=5.0, seed=11,
+    )
+    prep = prepare_scene(scene, policy)
+    dm = find_all(model, scene, seed=13, prep=prep, **kwargs)
+    om = find_all_oracle(model, prep, seed=13, **kwargs)
+    assert len(dm) == 1
+    _match_sets_agree(dm, om, float(model.resolution))
+    # the found pose is genuinely upright (z column preserved)
+    for m in dm + om:
+        assert abs(1.0 - float(np.asarray(m.transform)[2, 2])) < 0.02
+
+    # tilted instance: the gate must reject everything on BOTH sides.
+    # (the box's 180-degree self-symmetries are yaw-free about x/y, so no
+    # orbit member of a 0.9 rad tilt about x is upright either)
+    scene2, _, _ = embed_in_scene(
+        xyz, nrm, tan, rotation=rotation_matrix([1, 0, 0], 0.9),
+        translation=np.array([1.5, 0.5, 0.0], np.float32),
+        noise=0.001, n_clutter=400, clutter_extent=5.0, seed=12,
+    )
+    prep2 = prepare_scene(scene2, policy)
+    dm2 = find_all(model, scene2, seed=13, prep=prep2, **kwargs)
+    om2 = find_all_oracle(model, prep2, seed=13, **kwargs)
+    assert dm2 == [] and om2 == []
