@@ -8,10 +8,15 @@ protocol that gated the round-2 default flip (stride 8 / keep 1/16); rerun
 it whenever a ranking default changes.
 
     python scripts/recall_study.py [--seeds 10] [--points 131072] \
-        [--settings coarse:8:16,exact:8:16]
+        [--settings coarse:8:32:4,exact:8:16:1]
 
-Each setting is "<coarse|exact>:<stride>:<keep_frac>".  Prints one JSON line
-per setting with found/total and worst-case pose deltas.
+Each setting is "<coarse|exact>:<stride>:<keep_frac>[:<fine_stride>]"
+(fine_stride defaults to 1 = full-K survivor counts).  The DEFAULT settings
+are the SHIPPED SearchPolicy ranking knobs (coarse:8:32:4) plus the exact
+single-phase control at the historical protocol values (exact:8:16:1), so a
+bare run is hardware acceptance evidence for the production defaults.
+Prints one JSON line per setting with found/total and worst-case pose
+deltas.
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--points", type=int, default=131072)
-    ap.add_argument("--settings", default="coarse:8:16,exact:8:16")
+    ap.add_argument("--settings", default="coarse:8:32:4,exact:8:16:1")
     ap.add_argument("--coarse-points", type=int, default=None,
                     help="coarse block size (policy.coarse_model_points)")
     ap.add_argument("--fine-points", type=int, default=None,
@@ -163,7 +168,7 @@ def main():
             two_phase_coarse_model=(kind == "coarse"),
             two_phase_fine_stride=fine, **extra,
         )
-        found, dts, drs, secs = 0, [], [], []
+        found, dts, drs, secs, per_seed = 0, [], [], [], []
         for seed, (scene, t_gt) in enumerate(scenes):
             t0 = time.perf_counter()
             matches = find_all(
@@ -177,6 +182,10 @@ def main():
                 found += 1
                 dts.append(dt * 1000)
                 drs.append(dr)
+                per_seed.append({"seed": seed, "mm": round(dt * 1000, 3),
+                                 "deg": round(dr, 3)})
+            else:
+                per_seed.append({"seed": seed, "mm": None, "deg": None})
         print(json.dumps({
             "setting": f"{kind}:{stride}:{keep}:{fine}" + (
                 f" cpts={args.coarse_points}" if args.coarse_points else "") + (
@@ -189,6 +198,7 @@ def main():
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,
             "mean_search_s": round(float(np.mean(secs)), 2),
+            "per_seed": per_seed,
         }), flush=True)
 
 

@@ -83,9 +83,18 @@ def main():
     base = dict(coarse_points=policy.coarse_model_points,
                 fine_points=policy.fine_model_points,
                 keep_frac=policy.two_phase_keep_frac,
-                pose_tile=policy.two_phase_pose_tile)
+                pose_tile=policy.two_phase_pose_tile,
+                group_block=policy.two_phase_group_block)
     configs = [
         ("default", dict(base)),
+        ("gb1", dict(base, group_block=1)),
+        ("gb2", dict(base, group_block=2)),
+        ("gb4", dict(base, group_block=4)),
+        ("gb16", dict(base, group_block=16)),
+        ("gb32", dict(base, group_block=32)),
+        ("pt8_gb16", dict(base, pose_tile=8, group_block=16)),
+        ("pt16_gb16", dict(base, pose_tile=16, group_block=16)),
+        ("pt64_gb16", dict(base, pose_tile=64, group_block=16)),
         ("keep64", dict(base, keep_frac=64)),
         ("keep64_fine1024", dict(base, keep_frac=64, fine_points=1024)),
         ("coarse192", dict(base, coarse_points=192)),
@@ -120,6 +129,7 @@ def main():
                 coarse_linear=policy.two_phase_coarse_linear,
                 fine_coarse=policy.two_phase_fine_coarse,
                 fine_strict=cfg.get("fine_strict", policy.two_phase_fine_strict),
+                group_block=cfg.get("group_block", policy.two_phase_group_block),
             )
 
         try:

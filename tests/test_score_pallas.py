@@ -658,3 +658,54 @@ def test_coarse_mxu_reduce_rejects_strict_knobs(setup):
     with pytest.raises(ValueError, match="mxu"):
         score_groups_coarse(mpack, groups, rows, t2c, thres * thres,
                             pose_tile=4, interpret=True, reduce="mxu")
+
+
+def test_coarse_tile_and_group_fold_invariance(setup):
+    """The VMEM-chunking knobs (auto-shrunk pose tile, multi-group fold)
+    regroup identical arithmetic: counts must be bit-identical across every
+    (pose_tile, group_block) combination, including tiles the budget would
+    shrink and folds that do not divide G evenly (fall back to a divisor).
+
+    Guards the chunked-kernel refactor that fixed the hardware scoped-VMEM
+    OOM at fine_stride=1 shapes (evidence_r4/recall131k.log)."""
+    from triplet_match_tpu.search.score_pallas import (
+        _coarse_tiles,
+        score_groups_coarse,
+    )
+
+    model, prep, ts, nbr_idx, nbr_valid, consumed = setup
+    scene = prep.cloud
+    thres = 3.0 * float(model.resolution)
+    mpack = pack_model(model, coarse_points=128)
+    groups = pack_groups(scene, prep.tangent_mask, consumed, nbr_idx, nbr_valid)
+    rows = poses_to_rows(ts)
+    t2c = (thres + float(mpack.coarse_slack)) ** 2
+
+    ref = None
+    for pt, gb in [(1, 1), (2, 1), (4, 1), (8, 1), (2, 2), (8, 2), (4, 8)]:
+        c = np.asarray(score_groups_coarse(
+            mpack, groups, rows, t2c, thres * thres, pose_tile=pt,
+            group_block=gb, interpret=True,
+        ))
+        if ref is None:
+            ref = c
+        else:
+            np.testing.assert_array_equal(ref, c, err_msg=f"pt={pt} gb={gb}")
+
+    # the budget math: the worst hardware-OOM family (K=512, Nc=768, PT=32)
+    # must pick a MOSAIC-LEGAL pose tile (multiple of 8 or == Hg — the SMEM
+    # pose block's second-to-last dim, see evidence_r4/recall131k_v2.log for
+    # the lowering error an illegal tile triggers) and a K chunk whose live
+    # distance tile fits the budget; the group fold must divide G
+    from triplet_match_tpu.search.score_pallas import _COARSE_D2_BUDGET
+
+    pt, gb, kc = _coarse_tiles(g=256, hg=32, k=512, nc=768, pose_tile=32,
+                               group_block=8)
+    assert pt % 8 == 0 or pt == 32
+    assert 32 % pt == 0 and 512 % kc == 0 and (kc % 128 == 0 or kc == 512)
+    assert pt * kc * 768 * 4 <= _COARSE_D2_BUDGET
+    assert 256 % gb == 0 and gb >= 2
+    # Hg with no multiple-of-8 divisor: Hg itself is the only legal tile
+    pt, gb, kc = _coarse_tiles(g=7, hg=12, k=64, nc=128, pose_tile=8,
+                               group_block=8)
+    assert pt == 12 and 7 % gb == 0 and kc == 64

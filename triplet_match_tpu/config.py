@@ -226,6 +226,11 @@ class SearchPolicy:
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)
     two_phase_pose_tile: int = 32
+    # whole groups folded into one coarse-kernel program (fori_loop over
+    # the leading block dim) — amortizes the per-grid-step fixed cost
+    # (ROADMAP 3d4/3d9); the effective fold shrinks to an SMEM-budget
+    # divisor of G inside the kernel wrapper
+    two_phase_group_block: int = 8
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

@@ -377,6 +377,7 @@ def rank_groups(mpack, groups: jax.Array, rows: jax.Array, thres2,
             coarse_linear=policy.two_phase_coarse_linear,
             fine_coarse=policy.two_phase_fine_coarse,
             fine_strict=policy.two_phase_fine_strict,
+            group_block=policy.two_phase_group_block,
         )
     else:
         s_pl, _ = score_groups_pallas(
@@ -556,6 +557,18 @@ def score_groups_pallas(
     else:
         md_blk, mw_blk = mpack.channels_d, mpack.channels_w
     n = md_blk.shape[1]
+    if not interpret and mode == "full" and k * n * 4 * 2 > 12 * 1024 * 1024:
+        # full mode holds the [K, N] distance AND orientation-weight tiles
+        # live per pose; past ~12 MB combined the Mosaic scoped-vmem limit
+        # (16 MB) OOMs on hardware (same failure class the chunked coarse
+        # kernel fixed — evidence_r4/recall131k.log).  Fail at trace time
+        # with guidance instead of an opaque device compile error.
+        raise ValueError(
+            f"score_groups_pallas mode='full' needs K*N*8 = {k * n * 8} bytes "
+            "of scoped VMEM (> the ~16 MB TPU limit): reduce score_neighbors "
+            "(K) or pack_model max_points (N), or rank with mode='count' "
+            "(the production default) and rescore finalists via finish_find"
+        )
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
 
@@ -610,7 +623,8 @@ def score_groups_pallas(
 
 
 def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
-                   pose_tile: int, mxu_precision, reduce: str = "max"):
+                   pose_tile: int, group_block: int, k_chunk: int,
+                   mxu_precision, reduce: str = "max"):
     """Batched-pose coarse hit-count ranker.
 
     One [8, PT*K] x [8, Nc] matmul per pose tile emits the COMPLETE 4-D
@@ -620,6 +634,20 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     count(pose) = #scene points whose 4-D distance to the coarse block
     clears the (slack-inflated) gate; the kind gate rides the 4th coordinate
     (cross-kind pairs sit off^2 apart), eligibility rides a +BIG on |tp4|^2.
+
+    ``group_block``: GB whole groups are processed per program (a fori_loop
+    over the leading dim of the scene/pose blocks).  Each program pays the
+    grid-step fixed cost (operand DMA issue, sequencing) ONCE for
+    GB * pose_tile poses — the ROADMAP 3d4 per-program overhead amortizer.
+
+    ``k_chunk``: the K scene columns are processed KC at a time (static
+    unrolled loop), so the live distance tile is [PT*KC, Nc] and VMEM is
+    bounded even when the legal pose tiles (Mosaic requires the SMEM pose
+    block's second-to-last dim be a multiple of 8 or == Hg) are too coarse
+    to shrink under the budget alone.  Per-point any-hit values only ever
+    see their own d2 row, so chunk boundaries regroup identical arithmetic
+    (counts unchanged; only the f32 summation order of the per-pose total
+    can differ by an ulp in the fractional tiebreak term).
 
     ``reduce``: how the per-point "any rep within gate" reduction runs —
     "max" (default) sweeps the hit mask on the VPU; "mxu" rides it through
@@ -633,71 +661,128 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
     thres2_strict = params_ref[0, 2]
     w_inf = params_ref[0, 4]
     w_str = params_ref[0, 5]
-
-    sc = scene_ref[0]  # [8, K]
-    px, py, pz = sc[0:1, :], sc[1:2, :], sc[2:3, :]
-    w = off * sc[3:4, :]  # kind offset: edge points sit off away in dim 4
-    inelig = (1.0 - sc[4:5, :]) * float(_BIG)  # ineligible points can never hit
-    ones = jnp.ones_like(px)
-    w2 = w * w
-
-    blocks = []
-    for p in range(pose_tile):
-        q = lambda i: poses_ref[0, p, i]  # SMEM scalar reads
-        r00, r01, r02 = q(0), q(1), q(2)
-        r10, r11, r12 = q(3), q(4), q(5)
-        r20, r21, r22 = q(6), q(7), q(8)
-        t0, t1, t2 = q(9), q(10), q(11)
-        tpx = r00 * px + r01 * py + r02 * pz + t0  # [1, K]
-        tpy = r10 * px + r11 * py + r12 * pz + t1
-        tpz = r20 * px + r21 * py + r22 * pz + t2
-        tp2 = tpx * tpx + tpy * tpy + tpz * tpz + w2 + inelig
-        hi = tp2.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = tp2 - hi
-        # channel pairing with md_coarse rows [x, y, z, w, mp2_hi, mp2_lo, 1, 1]:
-        # scene ones ride the mp2 rows, scene tp2 splits ride the ones rows
-        blocks.append(jnp.concatenate(
-            [-2.0 * tpx, -2.0 * tpy, -2.0 * tpz, -2.0 * w, ones, ones, hi, lo],
-            axis=0,
-        ))  # [8, K]
-    a = jnp.concatenate(blocks, axis=1)  # [8, PT*K] pose-major
-    d2 = lax.dot_general(
-        a, mc_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=mxu_precision,
-    )  # [PT*K, Nc] — complete 4-D squared distances
-    k = px.shape[1]
-    if reduce == "mxu":
-        hit = (d2 <= thres2).astype(jnp.float32)
-        # per-point rep count via the MXU, clamped at 1 = exact any-hit
-        nc = hit.shape[1]
-        ones_col = jnp.ones((nc, 1), jnp.float32)
-        pair_col = lax.dot_general(
-            hit, ones_col, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=mxu_precision,
-        )  # [PT*K, 1]
-        any_hit = jnp.minimum(pair_col, 1.0)
-    else:
-        # min-then-compare == max of the hit mask, and the per-point min
-        # makes the strict-gate tiebreak free (one extra tiny compare)
-        dmin = jnp.min(d2, axis=1, keepdims=True)  # [PT*K, 1]
-        any_hit = (dmin <= thres2).astype(jnp.float32)
-        strict = (dmin <= thres2_strict).astype(jnp.float32)
-        # score = w_inf * inflated count + w_str * strict count.  Default
-        # (w_inf=1, w_str=1/(K+1)): the inflated (no-miss) count is the
-        # PRIMARY key and the strict count only breaks ties toward precise
-        # poses (the inflated gate blurs everything within the slack band
-        # to equal scores).  strict_primary swaps the weights — the strict
-        # count ranks first (the reference's own ranking statistic,
-        # impl/scene.hpp:468-475) with the inflated count as tiebreak.
-        any_hit = w_inf * any_hit + w_str * strict
-
-    counts = [jnp.sum(any_hit[p * k:(p + 1) * k, :]) for p in range(pose_tile)]
+    mc = mc_ref[:]
     j = pl.program_id(1)
-    count_ref[0:1, pl.ds(j, 1), :] = jnp.stack(counts).reshape(1, 1, pose_tile)
+    k_total = scene_ref.shape[2]
+    n_chunks = k_total // k_chunk
+
+    def one_group(gi, _):
+        sc = scene_ref[pl.ds(gi, 1)][0]  # [8, K]
+        totals = [jnp.float32(0.0)] * pose_tile
+        for ci in range(n_chunks):
+            csl = slice(ci * k_chunk, (ci + 1) * k_chunk)
+            px, py, pz = sc[0:1, csl], sc[1:2, csl], sc[2:3, csl]
+            w = off * sc[3:4, csl]  # kind offset: edge pts sit off away in dim 4
+            inelig = (1.0 - sc[4:5, csl]) * float(_BIG)  # ineligible: never hit
+            ones = jnp.ones_like(px)
+            w2 = w * w
+
+            blocks = []
+            for p in range(pose_tile):
+                q = lambda i: poses_ref[gi, p, i]  # SMEM scalar reads
+                r00, r01, r02 = q(0), q(1), q(2)
+                r10, r11, r12 = q(3), q(4), q(5)
+                r20, r21, r22 = q(6), q(7), q(8)
+                t0, t1, t2 = q(9), q(10), q(11)
+                tpx = r00 * px + r01 * py + r02 * pz + t0  # [1, KC]
+                tpy = r10 * px + r11 * py + r12 * pz + t1
+                tpz = r20 * px + r21 * py + r22 * pz + t2
+                tp2 = tpx * tpx + tpy * tpy + tpz * tpz + w2 + inelig
+                hi = tp2.astype(jnp.bfloat16).astype(jnp.float32)
+                lo = tp2 - hi
+                # channel pairing with md_coarse rows [x, y, z, w, mp2_hi,
+                # mp2_lo, 1, 1]: scene ones ride the mp2 rows, scene tp2
+                # splits ride the ones rows
+                blocks.append(jnp.concatenate(
+                    [-2.0 * tpx, -2.0 * tpy, -2.0 * tpz, -2.0 * w, ones, ones,
+                     hi, lo],
+                    axis=0,
+                ))  # [8, KC]
+            a = jnp.concatenate(blocks, axis=1)  # [8, PT*KC] pose-major
+            d2 = lax.dot_general(
+                a, mc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_precision,
+            )  # [PT*KC, Nc] — complete 4-D squared distances
+            if reduce == "mxu":
+                hit = (d2 <= thres2).astype(jnp.float32)
+                # per-point rep count via the MXU, clamped at 1 = exact any-hit
+                nc = hit.shape[1]
+                ones_col = jnp.ones((nc, 1), jnp.float32)
+                pair_col = lax.dot_general(
+                    hit, ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=mxu_precision,
+                )  # [PT*KC, 1]
+                any_hit = jnp.minimum(pair_col, 1.0)
+            else:
+                # min-then-compare == max of the hit mask, and the per-point
+                # min makes the strict-gate tiebreak free (one tiny compare)
+                dmin = jnp.min(d2, axis=1, keepdims=True)  # [PT*KC, 1]
+                any_hit = (dmin <= thres2).astype(jnp.float32)
+                strict = (dmin <= thres2_strict).astype(jnp.float32)
+                # score = w_inf * inflated count + w_str * strict count.
+                # Default (w_inf=1, w_str=1/(K+1)): the inflated (no-miss)
+                # count is the PRIMARY key and the strict count only breaks
+                # ties toward precise poses (the inflated gate blurs
+                # everything within the slack band to equal scores).
+                # strict_primary swaps the weights — the strict count ranks
+                # first (the reference's own ranking statistic,
+                # impl/scene.hpp:468-475) with the inflated count as tiebreak.
+                any_hit = w_inf * any_hit + w_str * strict
+
+            for p in range(pose_tile):
+                totals[p] = totals[p] + jnp.sum(
+                    any_hit[p * k_chunk:(p + 1) * k_chunk, :])
+        count_ref[pl.ds(gi, 1), pl.ds(j, 1), :] = (
+            jnp.stack(totals).reshape(1, 1, pose_tile)
+        )
+        return 0
+
+    lax.fori_loop(0, group_block, one_group, 0)
+
+
+# VMEM budget for one [PT*K, Nc] f32 distance tile.  The scoped-vmem limit
+# is 16 MB; the recall study's fine_stride=1 shapes hit 48 MB and OOMed on
+# hardware (evidence_r4/recall131k.log).  13 MB is just above the largest
+# tile the pre-chunking kernel ran in production all of round 3 (12.6 MB,
+# bench/bisect fine-phase shapes at pt=32) — the operand/output blocks are
+# KB-scale, so that tile size is hardware-proven headroom, and keeping it
+# admissible preserves the round-3 tiling at default shapes.
+_COARSE_D2_BUDGET = 13 * 1024 * 1024
+# SMEM pose-scalar block cap (bytes): GB * PT * 16 floats must stay small.
+_COARSE_SMEM_BUDGET = 8 * 1024
+
+
+def _coarse_tiles(g: int, hg: int, k: int, nc: int, pose_tile: int,
+                  group_block: int) -> tuple[int, int, int]:
+    """(pt, gb, kc): effective pose tile, group fold, scene-K chunk.
+
+    Legal pose tiles are the divisors of Hg that Mosaic accepts as the SMEM
+    pose block's second-to-last dim: multiples of 8, or Hg itself (a block
+    dim equal to the array dim is always legal).  The live [PT*KC, Nc]
+    distance tile must fit the VMEM budget; K chunks are divisors of K that
+    keep lane alignment (multiples of 128, or K itself).  Prefer the largest
+    legal pose tile that fits with SOME chunk, then the largest such chunk —
+    fewer grid steps amortize per-program fixed cost (ROADMAP 3d4)."""
+    pts = [d for d in range(min(pose_tile, hg), 0, -1)
+           if hg % d == 0 and (d % 8 == 0 or d == hg)]
+    if not pts:
+        pts = [hg]  # caller's bound has no legal divisor; Hg itself is legal
+    kcs = [c for c in range(k, 0, -1) if k % c == 0 and (c % 128 == 0 or c == k)]
+    pt, kc = pts[-1], kcs[-1]  # smallest legal pair if nothing fits the budget
+    for p in pts:
+        fit = [c for c in kcs if p * c * nc * 4 <= _COARSE_D2_BUDGET]
+        if fit:
+            pt, kc = p, fit[0]
+            break
+    gb = min(group_block, g, max(1, _COARSE_SMEM_BUDGET // (pt * 16 * 4)))
+    while gb > 1 and g % gb:
+        gb -= 1
+    return pt, gb, kc
 
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
-                                              "reduce", "block", "strict_primary"))
+                                              "reduce", "block", "strict_primary",
+                                              "group_block"))
 def score_groups_coarse(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
@@ -711,6 +796,7 @@ def score_groups_coarse(
     reduce: str = "max",
     block: str = "coarse",
     strict_primary: bool = False,
+    group_block: int = 8,
 ):
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
@@ -750,6 +836,16 @@ def score_groups_coarse(
     block's coverage radius; the no-miss inflated count is demoted to the
     tiebreak.  Do NOT use for a pass that decides drops (phase 1), where
     the no-miss primary is the contract.
+
+    ``pose_tile`` is an upper bound: the effective tile shrinks to a
+    Mosaic-legal divisor of Hg (multiple of 8, or Hg itself) and the scene
+    K dim is chunked inside the kernel until the live [PT*KC, Nc] distance
+    tile fits the scoped-VMEM budget — fine_stride=1 shapes OOMed the
+    unchunked kernel on hardware (48 MB tile vs the 16 MB limit).
+    ``group_block`` folds up to GB groups into one program to amortize
+    per-grid-step fixed cost (ROADMAP 3d4); all three knobs regroup
+    identical arithmetic — counts do not change (up to an ulp of summation
+    order in the fractional tiebreak term across K chunks).
     """
     if reduce == "mxu" and (strict_primary or dist_thres2_strict is not None):
         # the mxu reduction (kept as a measured-negative record, ROADMAP 3d)
@@ -775,22 +871,26 @@ def score_groups_coarse(
     ).reshape(1, 6)
     poses = poses.at[..., 9:12].add(-mpack.center)
 
-    hgt = hg // pose_tile
+    pt, gb, kc = _coarse_tiles(g, hg, k, nc, pose_tile, group_block)
+    hgt = hg // pt
     prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
-    kernel = functools.partial(_coarse_kernel, pose_tile=pose_tile, mxu_precision=prec,
-                               reduce=reduce)
+    kernel = functools.partial(_coarse_kernel, pose_tile=pt, group_block=gb,
+                               k_chunk=kc, mxu_precision=prec, reduce=reduce)
     count = pl.pallas_call(
         kernel,
-        grid=(g, hgt),
+        grid=(g // gb, hgt),
         in_specs=[
             pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, pose_tile, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((gb, pt, 16), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, 8, k), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((8, nc), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hgt, pose_tile), lambda i, j: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, hgt, pose_tile), jnp.float32),
+        out_specs=pl.BlockSpec((gb, hgt, pt), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, hgt, pt), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(params, poses.reshape(g, hg, 16), groups, md_block)
     return count.reshape(g, hg)
 
@@ -890,6 +990,16 @@ def score_groups_coarse_linear(
     nc = md_block.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
+    # shrink the tile until BOTH per-program VMEM hogs fit the budget: the
+    # [PT*K, Nc] distance tile and the [PT*C, PT*K] blockdiag statics operand
+    # (see score_groups_coarse on why — fine_stride=1 shapes OOM otherwise)
+    pose_tile = min(pose_tile, hg)
+    while pose_tile > 1 and (
+        hg % pose_tile
+        or pose_tile * k * nc * 4 > _COARSE_D2_BUDGET
+        or pose_tile * pose_tile * _LIN_C * k * 4 > _COARSE_D2_BUDGET
+    ):
+        pose_tile -= 1
     hgt = hg // pose_tile
     c = _LIN_C
 
@@ -962,7 +1072,7 @@ def score_groups_coarse_linear(
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
                      "coarse_model", "fine_stride", "weighted_distance",
                      "negative_scores", "coarse_linear", "fine_coarse",
-                     "fine_strict"),
+                     "fine_strict", "group_block"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -983,6 +1093,7 @@ def score_groups_two_phase(
     coarse_linear: bool = False,
     fine_coarse: bool = False,
     fine_strict: bool = False,
+    group_block: int = 8,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -1027,9 +1138,10 @@ def score_groups_two_phase(
     if coarse_model:
         t2c = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.coarse_slack) ** 2
         coarse_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
+        gb_kw = {} if coarse_linear else {"group_block": group_block}
         s1 = coarse_fn(
             mpack, coarse, poses, t2c, dist_thres2,
-            pose_tile=pose_tile, interpret=interpret,
+            pose_tile=pose_tile, interpret=interpret, **gb_kw,
         )
     else:
         s1, _ = score_groups_pallas(
@@ -1050,10 +1162,11 @@ def score_groups_two_phase(
         # contract as phase 1, at the fine block's (tighter) radius.
         t2f = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.fine_slack) ** 2
         fine_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
+        gb_kw = {} if coarse_linear else {"group_block": group_block}
         s2 = fine_fn(
             mpack, fine_groups, poses_kept, t2f, dist_thres2,
             pose_tile=pose_tile, interpret=interpret, block="fine",
-            strict_primary=fine_strict,
+            strict_primary=fine_strict, **gb_kw,
         )
         c2 = s2.astype(jnp.int32)
     else:
