@@ -73,24 +73,45 @@ def main():
         ("direct_strictprimary", sp.score_groups_coarse, {"strict_primary": True}),
         ("linear", sp.score_groups_coarse_linear, {}),
     ):
-        # f32 interpret oracle (exact reference for the chunk/fold refactor)
+        # 1) EXACTNESS: hardware at mxu_precision="highest" (f32-equivalent
+        # multi-pass matmul) must reproduce the f32 interpret oracle's
+        # integer count keys exactly — the chunk/fold refactor regroups
+        # identical arithmetic, so any diff here is a real kernel bug
+        # (same contract as scripts/check_kernel_parity.py).
         ref = np.asarray(fn(mpack, groups, rows, t2, t2s, pose_tile=32,
                             block="fine", interpret=True,
                             mxu_precision="highest", **kw))
+        hw_hi = np.asarray(jax.block_until_ready(
+            fn(mpack, groups, rows, t2, t2s, pose_tile=32, block="fine",
+               mxu_precision="highest", **kw)))
+        exact_diff = int(np.abs(np.floor(hw_hi) - np.floor(ref)).max())
+        assert exact_diff == 0, (name, "highest-vs-interpret", exact_diff)
+
+        # 2) production precision runs (bf16 inputs) — report the borderline
+        # flip envelope vs f32 on this ADVERSARIAL fixture (uniform random
+        # points put a dense d2 mass at the gate; production scenes sit far
+        # sparser, see check_kernel_parity), no hard bound
         t0 = time.perf_counter()
         out = np.asarray(jax.block_until_ready(
             fn(mpack, groups, rows, t2, t2s, pose_tile=32, block="fine", **kw)
         ))
         dt_cold = time.perf_counter() - t0
-        # hardware runs bf16 matmuls: compare the INTEGER count keys, allow
-        # <=2 borderline-hit flips per pose (the documented bf16 envelope)
         diff = np.abs(np.floor(out) - np.floor(ref))
         results[name] = {
-            "max_count_diff": int(diff.max()),
-            "mismatch_frac": round(float((diff > 0).mean()), 4),
+            "bf16_max_count_diff": int(diff.max()),
+            "bf16_mismatch_frac": round(float((diff > 0).mean()), 4),
             "cold_s": round(dt_cold, 1),
         }
-        assert diff.max() <= 2, (name, diff.max())
+
+        # 3) REGROUPING INVARIANCE on hardware: bf16 rounding is applied to
+        # the matmul INPUTS per element, so different (pose_tile, k_chunk,
+        # group_block) tilings must produce bit-identical integer keys
+        if fn is sp.score_groups_coarse:
+            alt = np.asarray(jax.block_until_ready(
+                fn(mpack, groups, rows, t2, t2s, pose_tile=8, group_block=2,
+                   block="fine", **kw)))
+            regroup_diff = int(np.abs(np.floor(alt) - np.floor(out)).max())
+            assert regroup_diff == 0, (name, "regroup", regroup_diff)
 
     print(json.dumps({
         "smoke": "coarse_kernel_chunked",

@@ -148,3 +148,87 @@ def test_icp_zero_iterations_returns_unrelaxed_corrs(sheet_scene):
     relaxed = finish_find(model, prep.cloud, prep.tangent_mask, consumed, t0, 0.10)
     assert int(res.corrs.count) == int(strict.count)
     assert int(relaxed.count) > int(strict.count)
+
+
+@pytest.fixture(scope="module")
+def dense_fog_scene():
+    """The 4M-density regime at CPU scale: fog patch density around the
+    instance matched to the r4_hw_scaling 4M row (~8k pts/m^3 global, far
+    denser inside patches), where the fixed-band tight polish measured
+    7.9 mm worst-case pose error on chip (RESULTS_r4.jsonl r4_hw_scaling)."""
+    from triplet_match_tpu.io.synthetic import fog_patches
+
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+
+    rng = np.random.default_rng(11)
+    r_inst = rotation_matrix([0.3, 1.0, 0.2], 1.1)
+    i_xyz = (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+
+    # fog constrained to a +-1.2 cube AROUND the instance: everything lands
+    # near/through the body (the in-band population that biases the fit)
+    c_xyz, c_nrm = fog_patches(rng, 40000, seed_base=9000, extent=1.2)
+
+    scene = PointCloud.from_arrays(
+        np.concatenate([i_xyz, c_xyz]),
+        np.concatenate([nrm @ r_inst.T, c_nrm]),
+        np.concatenate([tan @ r_inst.T, np.zeros_like(c_xyz)]),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = rotation_matrix([0.5, -0.2, 0.8], np.deg2rad(1.5))
+    pert[:3, 3] = [0.010, -0.008, 0.006]
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    return model, prep, consumed, t0, t_gt
+
+
+def test_tight_anneal_beats_fixed_band_in_dense_fog(dense_fog_scene):
+    """Annealing the tight-polish band (policy.tight_anneal) must strictly
+    reduce the fog-bias of the fixed-band polish AND land sub-mm: the fog
+    population inside the band scales with the band width, so tightening
+    per iteration shrinks the pull quadratically while true corrs (residual
+    ~ 1 mm noise) survive every step down to the 1/16 floor."""
+    model, prep, consumed, t0, t_gt = dense_fog_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    dt_fixed, _ = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, iterations=POLICY.tight_icp_iterations,
+        orientation_weight=POLICY.tight_orientation_weight, anneal=1.0), t_gt)
+    dt_ann, dr_ann = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, iterations=POLICY.tight_icp_iterations,
+        orientation_weight=POLICY.tight_orientation_weight, anneal=0.5), t_gt)
+    assert dt_ann < dt_fixed
+    assert dt_ann < 1.0 and dr_ann < 0.1
+
+
+def test_tight_anneal_harmless_on_clean_scene():
+    """On a clean scene the annealed schedule must match the fixed band's
+    sub-0.5 mm result (true corrs survive every tightening)."""
+    xyz, nrm, tan = make_box_model(n_edge=300, n_face=900, size=(1.0, 0.8, 0.6), seed=1)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+    rng = np.random.default_rng(3)
+    r_inst = rotation_matrix([0.1, 0.7, 0.4], 0.8)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+    scene = PointCloud.from_arrays(
+        (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32),
+        (nrm @ r_inst.T).astype(np.float32),
+        (tan @ r_inst.T).astype(np.float32),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = rotation_matrix([0.2, 0.9, -0.1], np.deg2rad(1.0))
+    pert[:3, 3] = [0.008, -0.006, 0.005]
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    t_pol = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                         t0, 3.0, iterations=POLICY.tight_icp_iterations,
+                         orientation_weight=POLICY.tight_orientation_weight,
+                         anneal=0.5)
+    dt_mm, dr = _delta_mm(t_pol, t_gt)
+    assert dt_mm < 0.5 and dr < 0.05

@@ -253,6 +253,16 @@ class SearchPolicy:
     # sheets meet the surface at an angle, so their corrs are downweighted
     # by the dihedral cosine; true corrs (aligned dirs) keep ~full weight
     tight_orientation_weight: bool = True
+    # per-iteration threshold factor for the tight polish: iteration i runs
+    # at dist_thres * max(anneal**i, 1/16).  In dense touching fog both the
+    # in-band clutter count and its mean offset scale with the band width,
+    # so pose bias falls ~quadratically as the band tightens while true
+    # corrs (residual ~ scene noise) survive; 1.0 = legacy fixed band.
+    # 0.5 default: strictly better in dense touching fog (the 4M-scale
+    # 7.9 mm regression, tests/test_icp_clutter.py dense-fog study) and
+    # measured harmless on clean scenes; acceptance decisions are made at
+    # the UN-polished pose, so this knob can only move reported transforms
+    tight_anneal: float = 0.5
 
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()

@@ -124,6 +124,7 @@ def tight_polish(
     point_to_plane: bool = False,
     samples_on_all: bool = True,
     orientation_weight: bool = False,
+    anneal: float = 1.0,
     axis_name: str | None = None,
 ) -> jax.Array:
     """Extra Kabsch steps at the UNRELAXED threshold with exact
@@ -146,6 +147,15 @@ def tight_polish(
     by the dihedral cosine, true corrs keep ~full weight; measured ~20%
     lower residual bias on the crossing-sheet study
     (tests/test_icp_clutter.py).
+
+    ``anneal``: per-iteration threshold factor — iteration i runs at
+    ``dist_thres * max(anneal**i, 1/16)``.  In dense touching fog the
+    in-band clutter count AND its mean offset both scale with the band
+    width, so the pose bias shrinks ~quadratically as the band tightens,
+    while true correspondences (residual ~ scene noise after the first
+    step) survive every tightening.  1.0 (legacy) keeps the fixed
+    unrelaxed band; the 1/16 floor keeps the band above typical scene
+    noise at any iteration count.
     """
 
     def _ff(t, thres, exact=False):
@@ -153,8 +163,13 @@ def tight_polish(
                            weighted_distance=weighted_distance, negative_scores=negative_scores,
                            samples_on_all=samples_on_all, axis_name=axis_name)
 
-    def tight_body(_, t):
-        corrs = _ff(t, dist_thres, exact=True)
+    factors = jnp.maximum(
+        jnp.float32(anneal) ** jnp.arange(iterations, dtype=jnp.float32),
+        jnp.float32(1.0 / 16.0))
+    thres_sched = jnp.asarray(dist_thres, jnp.float32) * factors
+
+    def tight_body(i, t):
+        corrs = _ff(t, thres_sched[i], exact=True)
         w = corrs.valid.astype(jnp.float32)
         if orientation_weight:
             midx_o = corrs.model_idx

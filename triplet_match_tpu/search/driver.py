@@ -516,6 +516,7 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
                 model, cloud, tangent_mask, consumed, t, dist_thres,
                 iterations=policy.tight_icp_iterations,
                 orientation_weight=policy.tight_orientation_weight,
+                anneal=policy.tight_anneal,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 point_to_plane=policy.icp_point_to_plane,
