@@ -51,6 +51,13 @@ def main():
     from triplet_match_tpu.search.driver import prepare_scene
     from triplet_match_tpu.search import score_pallas as sp
 
+    # let the gbN configs actually bind: the production SMEM budget caps
+    # the group fold at 4 for pose_tile 32 (8 KB conservative); raise it
+    # for the sweep so gb8-gb32 measure real folds (poses block tops out
+    # at 32*32*64 B = 64 KB).  If a raised fold wins on hardware, the
+    # production budget gets raised with a recall gate.
+    sp._COARSE_SMEM_BUDGET = 64 * 1024
+
     G, HG, K = 256, 512, 512
     policy = SearchPolicy()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
@@ -95,6 +102,8 @@ def main():
         ("pt8_gb16", dict(base, pose_tile=8, group_block=16)),
         ("pt16_gb16", dict(base, pose_tile=16, group_block=16)),
         ("pt64_gb16", dict(base, pose_tile=64, group_block=16)),
+        ("d2bf16", dict(base, d2_bf16=True)),
+        ("d2bf16_gb16", dict(base, d2_bf16=True, group_block=16)),
         ("keep64", dict(base, keep_frac=64)),
         ("keep64_fine1024", dict(base, keep_frac=64, fine_points=1024)),
         ("coarse192", dict(base, coarse_points=192)),
@@ -130,6 +139,7 @@ def main():
                 fine_coarse=policy.two_phase_fine_coarse,
                 fine_strict=cfg.get("fine_strict", policy.two_phase_fine_strict),
                 group_block=cfg.get("group_block", policy.two_phase_group_block),
+                d2_bf16=cfg.get("d2_bf16", False),
             )
 
         try:

@@ -624,7 +624,7 @@ def score_groups_pallas(
 
 def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
                    pose_tile: int, group_block: int, k_chunk: int,
-                   mxu_precision, reduce: str = "max"):
+                   mxu_precision, reduce: str = "max", d2_bf16: bool = False):
     """Batched-pose coarse hit-count ranker.
 
     One [8, PT*K] x [8, Nc] matmul per pose tile emits the COMPLETE 4-D
@@ -703,6 +703,13 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
                 a, mc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=mxu_precision,
             )  # [PT*KC, Nc] — complete 4-D squared distances
+            if d2_bf16:
+                # store/sweep the distance tile as bfloat16: halves the
+                # dominant VMEM traffic of the min sweep for ~2^-9 relative
+                # rounding of d2 — noise against the slack-inflated gate
+                # (same knob as the linear kernel; the matmul accumulator
+                # stays f32 as Mosaic requires)
+                d2 = d2.astype(jnp.bfloat16)
             if reduce == "mxu":
                 hit = (d2 <= thres2).astype(jnp.float32)
                 # per-point rep count via the MXU, clamped at 1 = exact any-hit
@@ -716,7 +723,7 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
             else:
                 # min-then-compare == max of the hit mask, and the per-point
                 # min makes the strict-gate tiebreak free (one tiny compare)
-                dmin = jnp.min(d2, axis=1, keepdims=True)  # [PT*KC, 1]
+                dmin = jnp.min(d2, axis=1, keepdims=True).astype(jnp.float32)  # [PT*KC, 1]
                 any_hit = (dmin <= thres2).astype(jnp.float32)
                 strict = (dmin <= thres2_strict).astype(jnp.float32)
                 # score = w_inf * inflated count + w_str * strict count.
@@ -782,7 +789,7 @@ def _coarse_tiles(g: int, hg: int, k: int, nc: int, pose_tile: int,
 
 @functools.partial(jax.jit, static_argnames=("pose_tile", "interpret", "mxu_precision",
                                               "reduce", "block", "strict_primary",
-                                              "group_block"))
+                                              "group_block", "d2_bf16"))
 def score_groups_coarse(
     mpack: ModelPack,
     groups: jax.Array,  # [G, 8, K] (typically a strided neighborhood subsample)
@@ -797,6 +804,7 @@ def score_groups_coarse(
     block: str = "coarse",
     strict_primary: bool = False,
     group_block: int = 8,
+    d2_bf16: bool = False,
 ):
     """Rank all G*Hg poses against the pack's coarse block.  Returns hit
     counts [G, Hg] (float32).
@@ -875,7 +883,8 @@ def score_groups_coarse(
     hgt = hg // pt
     prec = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}[mxu_precision]
     kernel = functools.partial(_coarse_kernel, pose_tile=pt, group_block=gb,
-                               k_chunk=kc, mxu_precision=prec, reduce=reduce)
+                               k_chunk=kc, mxu_precision=prec, reduce=reduce,
+                               d2_bf16=d2_bf16)
     count = pl.pallas_call(
         kernel,
         grid=(g // gb, hgt),
@@ -1072,7 +1081,7 @@ def score_groups_coarse_linear(
     static_argnames=("mode", "pose_tile", "coarse_stride", "keep_frac", "interpret",
                      "coarse_model", "fine_stride", "weighted_distance",
                      "negative_scores", "coarse_linear", "fine_coarse",
-                     "fine_strict", "group_block"),
+                     "fine_strict", "group_block", "d2_bf16"),
 )
 def score_groups_two_phase(
     mpack: ModelPack,
@@ -1094,6 +1103,7 @@ def score_groups_two_phase(
     fine_coarse: bool = False,
     fine_strict: bool = False,
     group_block: int = 8,
+    d2_bf16: bool = False,
 ):
     """Early-drop analog: coarse pass on a strided neighborhood subsample,
     full rescore of the per-group top 1/keep_frac poses.
@@ -1138,7 +1148,9 @@ def score_groups_two_phase(
     if coarse_model:
         t2c = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.coarse_slack) ** 2
         coarse_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
-        gb_kw = {} if coarse_linear else {"group_block": group_block}
+        gb_kw = {"d2_bf16": d2_bf16}
+        if not coarse_linear:
+            gb_kw["group_block"] = group_block
         s1 = coarse_fn(
             mpack, coarse, poses, t2c, dist_thres2,
             pose_tile=pose_tile, interpret=interpret, **gb_kw,
@@ -1162,7 +1174,9 @@ def score_groups_two_phase(
         # contract as phase 1, at the fine block's (tighter) radius.
         t2f = (jnp.sqrt(jnp.asarray(dist_thres2, jnp.float32)) + mpack.fine_slack) ** 2
         fine_fn = score_groups_coarse_linear if coarse_linear else score_groups_coarse
-        gb_kw = {} if coarse_linear else {"group_block": group_block}
+        gb_kw = {"d2_bf16": d2_bf16}
+        if not coarse_linear:
+            gb_kw["group_block"] = group_block
         s2 = fine_fn(
             mpack, fine_groups, poses_kept, t2f, dist_thres2,
             pose_tile=pose_tile, interpret=interpret, block="fine",
