@@ -118,6 +118,7 @@ def main(model_points: int | None = None):
                 coarse_linear=policy.two_phase_coarse_linear,
                 fine_coarse=policy.two_phase_fine_coarse,
                 fine_strict=policy.two_phase_fine_strict,
+                group_block=policy.two_phase_group_block,
             )
 
     else:
