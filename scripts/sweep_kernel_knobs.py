@@ -51,12 +51,12 @@ def main():
     from triplet_match_tpu.search.driver import prepare_scene
     from triplet_match_tpu.search import score_pallas as sp
 
-    # let the gbN configs actually bind: the production SMEM budget caps
-    # the group fold at 4 for pose_tile 32 (8 KB conservative); raise it
-    # for the sweep so gb8-gb32 measure real folds (poses block tops out
-    # at 32*32*64 B = 64 KB).  If a raised fold wins on hardware, the
-    # production budget gets raised with a recall gate.
-    sp._COARSE_SMEM_BUDGET = 64 * 1024
+    # let the gbN configs bind past the production slot budget so the
+    # sweep can measure (and re-measure) the SMEM ceiling itself: gb32 x
+    # pt32 = 1024 slots measured EXACTLY over the 1 MB SMEM capacity
+    # (evidence_r4/sweepgb.log), which is where the production 512-slot
+    # cap comes from.
+    sp._COARSE_SMEM_SLOTS = 1024
 
     G, HG, K = 256, 512, 512
     policy = SearchPolicy()

@@ -228,9 +228,12 @@ class SearchPolicy:
     two_phase_pose_tile: int = 32
     # whole groups folded into one coarse-kernel program (fori_loop over
     # the leading block dim) — amortizes the per-grid-step fixed cost
-    # (ROADMAP 3d4/3d9); the effective fold shrinks to an SMEM-budget
-    # divisor of G inside the kernel wrapper
-    two_phase_group_block: int = 8
+    # (ROADMAP 3d4/3d9); the effective fold shrinks to an SMEM-slot-budget
+    # divisor of G inside the kernel wrapper.  16 x pose_tile 32 = the
+    # 512-slot SMEM ceiling, measured 12.76M poses/s vs 10.7M at the old
+    # effective fold of 4 (evidence_r4/sweepgb.log; pure regrouping —
+    # counts are bit-identical, no recall gate needed)
+    two_phase_group_block: int = 16
 
     # hybrid point-to-plane Gauss-Newton in the tight ICP polish (surface
     # corrs constrained along normals, edge corrs perpendicular to tangents)

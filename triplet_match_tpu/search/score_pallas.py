@@ -755,8 +755,13 @@ def _coarse_kernel(params_ref, poses_ref, scene_ref, mc_ref, count_ref, *,
 # KB-scale, so that tile size is hardware-proven headroom, and keeping it
 # admissible preserves the round-3 tiling at default shapes.
 _COARSE_D2_BUDGET = 13 * 1024 * 1024
-# SMEM pose-scalar block cap (bytes): GB * PT * 16 floats must stay small.
-_COARSE_SMEM_BUDGET = 8 * 1024
+# SMEM pose-slot cap: the (GB, PT, 16) pose window lands in SMEM padded to
+# 128 lanes and double-buffered, so its real footprint is ~GB*PT*1 KB
+# against the 1 MB SMEM capacity (measured: gb32*pt32 = 1024 slots = 1.00 MB
+# "exceeded by 1.6K", gb16*pt32 = 512 slots compiles and runs —
+# evidence_r4/sweepgb.log).  512 slots = ~half the capacity, leaving room
+# for spill slots and the params window.
+_COARSE_SMEM_SLOTS = 512
 
 
 def _coarse_tiles(g: int, hg: int, k: int, nc: int, pose_tile: int,
@@ -781,7 +786,7 @@ def _coarse_tiles(g: int, hg: int, k: int, nc: int, pose_tile: int,
         if fit:
             pt, kc = p, fit[0]
             break
-    gb = min(group_block, g, max(1, _COARSE_SMEM_BUDGET // (pt * 16 * 4)))
+    gb = min(group_block, g, max(1, _COARSE_SMEM_SLOTS // pt))
     while gb > 1 and g % gb:
         gb -= 1
     return pt, gb, kc
