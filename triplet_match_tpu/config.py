@@ -195,7 +195,13 @@ class SearchPolicy:
     # with the strict-gate tiebreak; without the tiebreak one seed drifted
     # to 5.9mm — the inflated gate blurs poses within the slack band).
     two_phase_fine_coarse: bool = True
-    fine_model_points: int = 768  # medium block size (pack_model fine_points)
+    # medium block size (pack_model fine_points).  768 -> 512 flipped in
+    # round 4 on hardware end-to-end evidence: per-seed IDENTICAL poses to
+    # 768 on the 10-seed touching-fog protocol at 131k with mean search
+    # 7.9 s vs 9.7 s (RESULTS_r4 r4_hw_fine512); dense scales are
+    # unaffected (the fog-density switch routes them to the full-pack
+    # rescore, bypassing the fine block).
+    fine_model_points: int = 512
     # rank phase-2 survivors by the STRICT-gate count (the reference's own
     # ranking statistic, impl/scene.hpp:468-475) with the inflated no-miss
     # count demoted to the tiebreak.  The inflated-primary ordering blurs
