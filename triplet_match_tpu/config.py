@@ -213,19 +213,23 @@ class SearchPolicy:
     # 1536 block, ~8% faster pipeline).  Phase 1 always keeps the inflated
     # no-miss primary (it decides drops).
     two_phase_fine_strict: bool = True
-    # fog-density-adaptive survivor rescore: when the model-diameter ball
+    # fog-density-adaptive EXACT routing: when the model-diameter ball
     # around first points is fog-dominated (estimated 95th-pct ball
-    # population > fine_full_rescore_ratio * score_neighbors), the
-    # fine_coarse block ranking can no longer resolve sub-coverage-radius
-    # pose displacements (fog fills the coverage band and drowns the
-    # strict-count differences) — find_all then switches the survivor
-    # rescore to the FULL pack and widens the coarse keep to 1/8.
-    # Evidence (exact config-4 500k scene, f32 interpret ranking, CPU):
-    # default fine768 block accepted a 4.04 mm pose at seed 5 while
-    # full-pack rescore / keep8 / exact ranking all land 0.251 mm; at
-    # 131k (ratio ~11.5) the block ranking passes the 10-seed recall
-    # study — the ratio threshold separates the two regimes with margin
-    # (500k measures ~25, 1M ~43).
+    # population > fine_full_rescore_ratio * score_neighbors), any
+    # coverage-radius-blurred block ranking (coarse phase-1 AND the
+    # fine_coarse rescore) loses sub-radius pose resolution (fog fills the
+    # coverage band and drowns the strict-count differences) — find_all
+    # then routes to the exact two-phase configuration: FULL-pack phase 1,
+    # full-pack full-K survivor rescore, keep 1/8.
+    # Evidence: (r3, CPU f32 interpret, exact config-4 500k scene) the
+    # fine768 block accepted a 4.04 mm pose at seed 5 while full-pack
+    # rescore / exact ranking land 0.251 mm; (r4, HARDWARE 10-seed 500k
+    # A/B, RESULTS_r4 r4_hw_recall500k) exact routing is faster (21.7 s
+    # vs 23.8 s mean) and uniformly precise (all seeds <=0.044 mm vs one
+    # 0.99 mm outlier with coarse-block phase 1).  At 131k (ratio ~11.5)
+    # the block ranking passes the 10-seed protocol with per-seed poses
+    # identical to the exact control — the ratio threshold separates the
+    # regimes with margin (500k measures ~25, 1M ~43).
     adaptive_fine_rescore: bool = True
     fine_full_rescore_ratio: float = 16.0
     # poses per kernel program: per-program fixed costs (operand DMA

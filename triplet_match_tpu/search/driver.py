@@ -875,16 +875,24 @@ def find_all(
         # mesh with scorer="auto" still ranks through the two-phase kernel
         # and needs the fog-density protection just the same)
 
-    # fog-density-adaptive survivor rescore (see config.adaptive_fine_rescore):
-    # a fog-dominated diameter ball blurs the fine_coarse block ranking past
-    # what the strict-primary count can resolve — rescore survivors on the
-    # full pack and keep 1/8 instead of 1/policy.two_phase_keep_frac.
+    # fog-density-adaptive EXACT routing (see config.adaptive_fine_rescore):
+    # a fog-dominated diameter ball blurs the coarse-block phase-1 ordering
+    # AND the fine_coarse block rescore past what the strict-primary count
+    # can resolve, so dense scenes route to the exact two-phase
+    # configuration: phase 1 ranks on the FULL pack (no coverage-radius
+    # slack), survivors (keep 1/8) rescore on the full pack at full K.
+    # Hardware A/B at 500k, 10 touching-fog seeds (RESULTS_r4
+    # r4_hw_recall500k): the exact routing is BOTH faster (21.7 s vs
+    # 23.8 s mean) and uniformly precise (all seeds <=0.044 mm, vs one
+    # 0.99 mm two-phase finalist-choice outlier with the coarse block
+    # phase 1 + stride-4 rescore of the pre-r4 switch).
     stats["fine_rescore_full"] = False
     if (policy.adaptive_fine_rescore and use_pallas and policy.two_phase_scoring
             and policy.two_phase_fine_coarse and ball_q is not None
             and ball_q > policy.fine_full_rescore_ratio * policy.score_neighbors):
         policy = dataclasses.replace(
-            policy, two_phase_fine_coarse=False,
+            policy, two_phase_coarse_model=False, two_phase_fine_coarse=False,
+            two_phase_fine_stride=1,
             two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
         )
         stats["fine_rescore_full"] = True
