@@ -782,7 +782,17 @@ def _coarse_tiles(g: int, hg: int, k: int, nc: int, pose_tile: int,
     kcs = [c for c in range(k, 0, -1) if k % c == 0 and (c % 128 == 0 or c == k)]
     pt, kc = pts[-1], kcs[-1]  # smallest legal pair if nothing fits the budget
     for p in pts:
-        fit = [c for c in kcs if p * c * nc * 4 <= _COARSE_D2_BUDGET]
+        if p * k * nc * 4 <= _COARSE_D2_BUDGET:
+            pt, kc = p, k  # single chunk: one live tile, full budget applies
+            break
+        # chunked: Mosaic's ILP scheduling keeps TWO chunk tiles live (the
+        # next chunk's matmul overlaps the previous chunk's min sweep), so
+        # a chunked tile gets HALF the budget — measured: pt32/kc128/Nc768
+        # (12.58 MB/tile) compiled to an 18.07 MB stack allocation and
+        # OOMed the 16 MB scoped limit (evidence_r4/smoke3.log), while
+        # pt16/kc128 (6.29 MB/tile) compiles and runs
+        fit = [c for c in kcs if c < k
+               and p * c * nc * 4 * 2 <= _COARSE_D2_BUDGET]
         if fit:
             pt, kc = p, fit[0]
             break
