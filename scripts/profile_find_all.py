@@ -29,6 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--first-seed", type=int, default=0,
+                    help="scene seeds run [first_seed, first_seed+seeds) — "
+                         "scaling_study uses seeds 1,2; recall_study 0..9")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -58,7 +61,7 @@ def main():
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
     model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
 
-    for seed in range(args.seeds):
+    for seed in range(args.first_seed, args.first_seed + args.seeds):
         scene, t_gt = build_scene(args.points, seed)
         t0 = time.perf_counter()
         prep = driver.prepare_scene(scene, policy)
