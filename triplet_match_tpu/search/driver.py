@@ -890,9 +890,16 @@ def find_all(
     if (policy.adaptive_fine_rescore and use_pallas and policy.two_phase_scoring
             and policy.two_phase_fine_coarse and ball_q is not None
             and ball_q > policy.fine_full_rescore_ratio * policy.score_neighbors):
+        # full-K rescore under ranking_mode="full" holds [K, N] distance AND
+        # weight tiles per pose — at K=512 x a 4096-point pack that exceeds
+        # the scoped-VMEM trace guard (score_groups_pallas), so full mode
+        # keeps its configured stride; count mode (the default and the
+        # reference's ranking) goes full-K
+        fine_stride = (policy.two_phase_fine_stride
+                       if policy.ranking_mode == "full" else 1)
         policy = dataclasses.replace(
             policy, two_phase_coarse_model=False, two_phase_fine_coarse=False,
-            two_phase_fine_stride=1,
+            two_phase_fine_stride=fine_stride,
             two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
         )
         stats["fine_rescore_full"] = True
