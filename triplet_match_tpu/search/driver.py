@@ -854,7 +854,8 @@ def find_all(
     eff_b2 = policy.num_second_samples
     ball_q = None
     if policy.adaptive_second_samples or policy.adaptive_fine_rescore:
-        ball_q = ball_population_quantile(prep, model)
+        with profiler.section("ball_quantile"):
+            ball_q = ball_population_quantile(prep, model)
     if policy.adaptive_second_samples:
         bound = adaptive_inner_bound(prep, model, policy, ball_q=ball_q)
         if bound > policy.num_second_samples:
@@ -947,6 +948,7 @@ def find_all(
                  max_icp_iterations, n, model.cloud.xyz.shape[0],
                  model.lut.shape, model.keys.shape, mpack_sig)
     round_fn = _ROUND_FN_CACHE.pop(cache_key, None)
+    stats["round_fn_cache_hit"] = round_fn is not None
     if round_fn is None:
         round_fn = jax.jit(
             partial(
@@ -968,11 +970,12 @@ def find_all(
                        jax.random.fold_in(base_key, 0),
                        jnp.float32(dist_thres), jnp.float32(model_match_factor),
                        mpack)
-            round_fn = aot.get_or_compile(
-                "search_round", round_fn, example,
-                statics=repr((discretization, sample_params, policy,
-                              max_icp_iterations)),
-            )
+            with profiler.section("aot_resolve"):
+                round_fn = aot.get_or_compile(
+                    "search_round", round_fn, example,
+                    statics=repr((discretization, sample_params, policy,
+                                  max_icp_iterations)),
+                )
     _ROUND_FN_CACHE[cache_key] = round_fn  # (re)insert as most-recent
     while len(_ROUND_FN_CACHE) > _ROUND_FN_CACHE_MAX:
         _ROUND_FN_CACHE.pop(next(iter(_ROUND_FN_CACHE)))
