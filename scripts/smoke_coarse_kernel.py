@@ -73,19 +73,25 @@ def main():
         ("direct_strictprimary", sp.score_groups_coarse, {"strict_primary": True}),
         ("linear", sp.score_groups_coarse_linear, {}),
     ):
-        # 1) EXACTNESS: hardware at mxu_precision="highest" (f32-equivalent
-        # multi-pass matmul) must reproduce the f32 interpret oracle's
-        # integer count keys exactly — the chunk/fold refactor regroups
-        # identical arithmetic, so any diff here is a real kernel bug
-        # (same contract as scripts/check_kernel_parity.py).
+        # 1) ENVELOPE vs the f32 interpret oracle at mxu_precision="highest".
+        # NOT exact by design: the kind gate rides a 4th coordinate, so a
+        # same-kind pair's (w - w_m)^2 = 0 is computed by CANCELLATION of
+        # kind_off^2-magnitude products, and the TPU "highest" bf16x3
+        # decomposition's error on those products exceeds an f32 ulp —
+        # near-gate counts can flip (measured max 18/512 on this
+        # adversarial uniform fixture, evidence_r4/smoke4.log; production
+        # gates are slack-inflated so flips are ranking noise there).
+        # The hard refactor guard is check 3 (regroup invariance).
         ref = np.asarray(fn(mpack, groups, rows, t2, t2s, pose_tile=32,
                             block="fine", interpret=True,
                             mxu_precision="highest", **kw))
         hw_hi = np.asarray(jax.block_until_ready(
             fn(mpack, groups, rows, t2, t2s, pose_tile=32, block="fine",
                mxu_precision="highest", **kw)))
-        exact_diff = int(np.abs(np.floor(hw_hi) - np.floor(ref)).max())
-        assert exact_diff == 0, (name, "highest-vs-interpret", exact_diff)
+        hi_diff = np.abs(np.floor(hw_hi) - np.floor(ref))
+        results.setdefault(name, {})["highest_max_count_diff"] = int(hi_diff.max())
+        results[name]["highest_mismatch_frac"] = round(float((hi_diff > 0).mean()), 4)
+        assert hi_diff.max() <= 32, (name, "highest-vs-interpret", hi_diff.max())
 
         # 2) production precision runs (bf16 inputs) — report the borderline
         # flip envelope vs f32 on this ADVERSARIAL fixture (uniform random
@@ -97,11 +103,11 @@ def main():
         ))
         dt_cold = time.perf_counter() - t0
         diff = np.abs(np.floor(out) - np.floor(ref))
-        results[name] = {
+        results[name].update({
             "bf16_max_count_diff": int(diff.max()),
             "bf16_mismatch_frac": round(float((diff > 0).mean()), 4),
             "cold_s": round(dt_cold, 1),
-        }
+        })
 
         # 3) REGROUPING INVARIANCE on hardware: bf16 rounding is applied to
         # the matmul INPUTS per element, so different (pose_tile, k_chunk,
