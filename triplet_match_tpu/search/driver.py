@@ -898,10 +898,17 @@ def find_all(
         # reference's ranking) goes full-K
         fine_stride = (policy.two_phase_fine_stride
                        if policy.ranking_mode == "full" else 1)
+        # widen the finalist funnel too: a fog-dominated scene ranks ~1M
+        # hypotheses whose count margins are fog noise, and the true pose
+        # only needs to CRACK the finalist set (acceptance gates it with
+        # exact full-scene counts) — at the 4M envelope edge the default
+        # 4-finalist funnel measured 1 round x 4 fog finalists x 0 accepts
+        # on one seed (evidence_r4/prof4m.log, rejection_rate 1.0)
         policy = dataclasses.replace(
             policy, two_phase_coarse_model=False, two_phase_fine_coarse=False,
             two_phase_fine_stride=fine_stride,
             two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
+            finalists=max(policy.finalists, 16),
         )
         stats["fine_rescore_full"] = True
     if ball_q is not None:
