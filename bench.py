@@ -144,7 +144,12 @@ def main(model_points: int | None = None):
         # folding of batch 0
         jax.block_until_ready(run(rows_all[1]))
 
-    iters = 10 if on_tpu else 3
+    # 30 iterations to match the knob-sweep harness (sweep_kernel_knobs):
+    # dispatches are async with one trailing block_until_ready, so more
+    # iterations amortize the first dispatch's tunnel RTT and straggler
+    # noise — at 10 iterations bench.py read ~15% below the sweep on the
+    # identical program (11.5M vs 13.3M, RESULTS_r4)
+    iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(rows_all[i % NB]) if on_tpu else run()
