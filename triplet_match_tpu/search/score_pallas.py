@@ -1014,14 +1014,18 @@ def score_groups_coarse_linear(
     nc = md_block.shape[1]
     if hg % pose_tile:
         raise ValueError(f"poses per group ({hg}) must be divisible by pose_tile ({pose_tile})")
-    # shrink the tile until BOTH per-program VMEM hogs fit the budget: the
-    # [PT*K, Nc] distance tile and the [PT*C, PT*K] blockdiag statics operand
-    # (see score_groups_coarse on why — fine_stride=1 shapes OOM otherwise)
+    # shrink the tile until the per-program VMEM total fits: the live
+    # [PT*K, Nc] distance tile PLUS the double-buffered [PT*C, PT*K]
+    # blockdiag statics operand window.  The combined budget is 12 MB
+    # against the 16 MB scoped limit — measured: pt=8 at the K=512/Nc=768
+    # family costs d2 12.58 MB + 2x0.9 MB sblk + ~1.7 MB of smaller
+    # operand/intermediate buffers = 16.02 MB, 20 KB over the limit
+    # (evidence_r4/smoke5.log); pt=4 compiles with margin.
     pose_tile = min(pose_tile, hg)
     while pose_tile > 1 and (
         hg % pose_tile
-        or pose_tile * k * nc * 4 > _COARSE_D2_BUDGET
-        or pose_tile * pose_tile * _LIN_C * k * 4 > _COARSE_D2_BUDGET
+        or (pose_tile * k * nc * 4
+            + 2 * pose_tile * pose_tile * _LIN_C * k * 4) > 12 * 1024 * 1024
     ):
         pose_tile -= 1
     hgt = hg // pose_tile
