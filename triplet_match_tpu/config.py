@@ -208,9 +208,10 @@ class SearchPolicy:
     # with the fine block's coverage radius (fine blocks below 1536 reps
     # measured mm-scale pose drift in the touching-fog recall study —
     # ROADMAP 3d6); strict-primary decouples pose precision from the fine
-    # block size, which is what lets fine_model_points sit at 768 (10-seed
-    # touching fog: 10/10, max 0.33mm/0.06deg — identical precision to the
-    # 1536 block, ~8% faster pipeline).  Phase 1 always keeps the inflated
+    # block size, which is what lets fine_model_points sit at 512 (10-seed
+    # touching fog on chip: 10/10, per-seed poses identical to the 768
+    # block and to the exact single-phase control — RESULTS_r4
+    # r4_hw_fine512/r4_hw_recall131k).  Phase 1 always keeps the inflated
     # no-miss primary (it decides drops).
     two_phase_fine_strict: bool = True
     # fog-density-adaptive EXACT routing: when the model-diameter ball
