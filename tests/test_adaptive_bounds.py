@@ -359,6 +359,11 @@ def test_fine_rescore_density_switch(inner_fixture, monkeypatch):
     monkeypatch.setattr(drv, "ball_population_quantile", lambda *a, **k: 1.0e9)
     find_all(model, sparse, model_match_factor=0.5, policy=pol, seed=0)
     assert LAST_SEARCH_STATS["fine_rescore_full"] is True
+    # ... and the finalist funnel widens with it (4M envelope-edge fix: a
+    # fog-dominated ranking's count margins are noise, so the true pose
+    # only needs to CRACK the finalist set — acceptance gates each
+    # finalist with exact full-scene counts; evidence_r4/prof4m.log)
+    assert LAST_SEARCH_STATS["finalists"] >= 16 * LAST_SEARCH_STATS["rounds"]
 
     # opting out keeps the block rescore even in the dense regime
     pol_off = dataclasses.replace(pol, adaptive_fine_rescore=False)
