@@ -171,3 +171,31 @@ def test_two_instances(setup):
             if float(dt) < 5e-3 and float(np.degrees(float(dr))) < 1.0:
                 found.add(gi)
     assert found == {0, 1}
+
+
+def test_finalist_chunked_map_equivalent(setup, monkeypatch):
+    """The HBM-budget finalist chunking (driver._finalist_map) must be a
+    pure regrouping: forcing the fully sequential path (budget below one
+    scene's rows) yields the same matches as the vmapped default — same
+    match set and correspondences, poses equal to float tolerance (batched
+    and unbatched linalg kernels round differently in the Kabsch SVD).
+    Guards the 4M OOM fix — the vmapped finalist ICP/finish_find fuses an
+    [F*N, 3] buffer whose TPU lane padding (3 -> 128) reaches 34 GB at the
+    16-finalist funnel on 4M points (evidence_r4/scaling_fin.log)."""
+    from triplet_match_tpu.search import driver as drv
+
+    model, scene, _, _ = setup
+    kwargs = dict(
+        dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE,
+        discretization=DISC, policy=POLICY, max_icp_iterations=5, seed=21,
+    )
+    drv.clear_round_cache()
+    ref = find_all(model, scene, **kwargs)
+    monkeypatch.setattr(drv, "_FINALIST_ROW_BUDGET", 1)  # forces batch_size=1
+    drv.clear_round_cache()
+    chunked = find_all(model, scene, **kwargs)
+    drv.clear_round_cache()
+    assert len(ref) == len(chunked) and len(ref) >= 1
+    for a, b in zip(ref, chunked):
+        np.testing.assert_allclose(a.transform, b.transform, atol=1e-5)
+        np.testing.assert_array_equal(a.scene_corrs, b.scene_corrs)

@@ -416,6 +416,32 @@ def finalize_round(
     return result, consumed_next, fp_next
 
 
+# HBM budget (in F*N rows) for the finalist-batched ICP/finish_find maps.
+# XLA fuses the per-finalist transformed-scene intermediates of a vmapped
+# finish_find into one [F*N, 3] buffer whose TPU T(8,128) layout pads the
+# minor dim 3 -> 128 lanes (512 B/row): at the density-adaptive 16-finalist
+# funnel on a 4M-point scene that is 34 GB and the round executable cannot
+# compile (evidence_r4/scaling_fin.log).  2^23 rows (<= 4.3 GB padded) keeps
+# every hardware-validated shape — up to 500k-dense F=16 and 4M F=4 — on the
+# plain-vmap path; beyond it finalists map in chunks of the largest fitting
+# batch.
+_FINALIST_ROW_BUDGET = 8 * 1024 * 1024
+
+
+def _finalist_map(fn, ts, n_scene: int):
+    """vmap ``fn`` over finalist poses ``ts`` [F, 4, 4], chunking the batch
+    when F * n_scene would materialize scene-sized per-finalist fusions
+    beyond ``_FINALIST_ROW_BUDGET`` (see above).  Per-finalist results are
+    independent, so chunking is a pure regrouping (equal to float
+    tolerance: batched and unbatched linalg kernels round differently in
+    the Kabsch SVD — pinned by test_finalist_chunked_map_equivalent)."""
+    f = int(ts.shape[0])
+    if f * n_scene <= _FINALIST_ROW_BUDGET:
+        return jax.vmap(fn)(ts)
+    fc = max(1, _FINALIST_ROW_BUDGET // max(n_scene, 1))
+    return jax.lax.map(fn, ts, batch_size=min(fc, f))
+
+
 def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
                       model_match_factor, *, policy: SearchPolicy,
                       max_icp_iterations: int, axis_name: str | None = None):
@@ -433,7 +459,7 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
     # gated on) acceptance — it improves the reported pose, never which
     # matches are accepted, so the no-match confirmation rounds skip its
     # finish_find passes entirely (3 of the 5 per round at 131k — ROADMAP 3e)
-    icp = jax.vmap(
+    icp = _finalist_map(
         lambda t: icp_refine(
             model, cloud, tangent_mask, consumed, t, dist_thres, max_icp_iterations,
             tight_iterations=0,
@@ -442,8 +468,9 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
             point_to_plane=policy.icp_point_to_plane,
             samples_on_all=policy.samples_on_all,
             axis_name=axis_name,
-        )
-    )(t_best)
+        ),
+        t_best, cloud.xyz.shape[0],
+    )
     t_fin = icp.transform
     corr_valid = icp.corrs.valid  # [F, N] (sharded N under axis_name)
     corr_midx = icp.corrs.model_idx
@@ -511,7 +538,7 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
     relaxed = 2.0 * dist_thres  # icp_'s reporting gate (impl/scene.hpp:373)
 
     def polish_branch(ts):
-        t_pol = jax.vmap(
+        t_pol = _finalist_map(
             lambda t: tight_polish(
                 model, cloud, tangent_mask, consumed, t, dist_thres,
                 iterations=policy.tight_icp_iterations,
@@ -522,17 +549,19 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
                 point_to_plane=policy.icp_point_to_plane,
                 samples_on_all=policy.samples_on_all,
                 axis_name=axis_name,
-            )
-        )(ts)
-        corrs = jax.vmap(
+            ),
+            ts, cloud.xyz.shape[0],
+        )
+        corrs = _finalist_map(
             lambda t: finish_find(
                 model, cloud, tangent_mask, consumed, t, relaxed,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 samples_on_all=policy.samples_on_all,
                 axis_name=axis_name,
-            )
-        )(t_pol)
+            ),
+            t_pol, cloud.xyz.shape[0],
+        )
 
         def claim(used, args):
             f, ok = args
