@@ -199,3 +199,18 @@ def test_finalist_chunked_map_equivalent(setup, monkeypatch):
     for a, b in zip(ref, chunked):
         np.testing.assert_allclose(a.transform, b.transform, atol=1e-5)
         np.testing.assert_array_equal(a.scene_corrs, b.scene_corrs)
+
+
+def test_finalist_map_remainder_batches(monkeypatch):
+    """_finalist_map with F not divisible by the fitting batch (F=5, fc=2):
+    lax.map's remainder handling must reproduce the vmap result exactly for
+    a linalg-free function."""
+    import jax
+    from triplet_match_tpu.search import driver as drv
+
+    f = lambda t: (t @ t).sum(axis=-1)
+    ts = jnp.arange(5 * 16, dtype=jnp.float32).reshape(5, 4, 4)
+    ref = jax.vmap(f)(ts)
+    monkeypatch.setattr(drv, "_FINALIST_ROW_BUDGET", 20)  # fc = 20//10 = 2
+    out = drv._finalist_map(f, ts, 10)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

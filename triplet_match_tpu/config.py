@@ -233,6 +233,14 @@ class SearchPolicy:
     # regimes with margin (500k measures ~25, 1M ~43).
     adaptive_fine_rescore: bool = True
     fine_full_rescore_ratio: float = 16.0
+    # finalist funnel width when the fog switch fires: a fog-dominated
+    # scene ranks ~1M hypotheses whose count margins are fog noise, so the
+    # true pose only needs to CRACK the finalist set (acceptance re-gates
+    # with exact full-scene counts) — the default 4-finalist funnel
+    # measured 1 round x 4 fog finalists x 0 accepts on a 4M seed
+    # (evidence_r4/prof4m.log).  Kept a knob: the finalist ICP join cost
+    # scales linearly with this at scene-sized finish_find passes.
+    adaptive_finalists: int = 16
     # poses per kernel program: per-program fixed costs (operand DMA
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)

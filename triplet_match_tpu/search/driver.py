@@ -937,7 +937,7 @@ def find_all(
             policy, two_phase_coarse_model=False, two_phase_fine_coarse=False,
             two_phase_fine_stride=fine_stride,
             two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
-            finalists=max(policy.finalists, 16),
+            finalists=max(policy.finalists, policy.adaptive_finalists),
         )
         stats["fine_rescore_full"] = True
     if ball_q is not None:
