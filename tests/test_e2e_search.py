@@ -214,3 +214,35 @@ def test_finalist_map_remainder_batches(monkeypatch):
     monkeypatch.setattr(drv, "_FINALIST_ROW_BUDGET", 20)  # fc = 20//10 = 2
     out = drv._finalist_map(f, ts, 10)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_finalist_prescreen_preserves_matches(setup):
+    """The exact-count prescreen (policy.finalist_prescreen) must not change
+    WHAT is found when the true pose is in the funnel: it ranks the widened
+    finalist set by one full-scene relaxed count each (the acceptance
+    statistic itself) and forwards only the top ``keep`` to the relaxed-ICP
+    join, so the accepted match and its pose are identical to the
+    unprescreened join.  This is the 4M envelope-edge cost bound: the
+    density switch widens the funnel to 16, and 16 full ICP joins exceed
+    the single-program runtime horizon at 4M points
+    (evidence_r4/scaling_r.log execution fault)."""
+    import dataclasses
+
+    from triplet_match_tpu.search import driver as drv
+
+    model, scene, _, _ = setup
+    kwargs = dict(
+        dist_thres=3.0, model_match_factor=0.5, sample_params=SAMPLE,
+        discretization=DISC, max_icp_iterations=5, seed=21,
+    )
+    wide = dataclasses.replace(POLICY, finalists=8)
+    drv.clear_round_cache()
+    ref = find_all(model, scene, policy=wide, **kwargs)
+    pre = dataclasses.replace(wide, finalist_prescreen=2)
+    drv.clear_round_cache()
+    cut = find_all(model, scene, policy=pre, **kwargs)
+    drv.clear_round_cache()
+    assert len(ref) == len(cut) and len(ref) >= 1
+    for a, b in zip(ref, cut):
+        np.testing.assert_allclose(a.transform, b.transform, atol=1e-5)
+        np.testing.assert_array_equal(a.scene_corrs, b.scene_corrs)

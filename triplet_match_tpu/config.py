@@ -241,6 +241,16 @@ class SearchPolicy:
     # (evidence_r4/prof4m.log).  Kept a knob: the finalist ICP join cost
     # scales linearly with this at scene-sized finish_find passes.
     adaptive_finalists: int = 16
+    # width the widened funnel is cut back to (by ONE exact full-scene
+    # relaxed-count pass per finalist at the unrefined pose) before the
+    # full relaxed-ICP join.  The exact count is the acceptance statistic
+    # itself, so ranking by it is strictly sharper than the pack-based
+    # rescore that admitted the fog finalists — and one finish_find pass
+    # costs ~1/(icp_iters+1) of a finalist's ICP, so the widened funnel
+    # stops scaling the join linearly.  0 = screen everything with full
+    # ICP (pre-round-4 behavior).  Only consulted when the fog switch
+    # raises the funnel (find_all sets it to the base ``finalists``).
+    finalist_prescreen: int = 0
     # poses per kernel program: per-program fixed costs (operand DMA
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)

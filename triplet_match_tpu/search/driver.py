@@ -455,6 +455,35 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
     consumed').  ``new_corr``/``model_idx``/``consumed'`` are shaped like
     the (possibly sharded) scene axis of ``cloud``.
     """
+    # exact-count prescreen: when the fog switch widened the funnel, rank
+    # the widened set by ONE full-scene relaxed-count pass each (the
+    # acceptance statistic itself — the true pose's margin over fog poses
+    # is ~n_model against a sqrt(fog-in-band) fluctuation, so this ranking
+    # is density-robust where the pack-based rescore is not) and keep only
+    # ``finalist_prescreen`` poses for the full relaxed-ICP join.  Cuts
+    # the scene-sized join from F*(icp_iters+1) passes to
+    # F + keep*(icp_iters+1) and bounds the round program's runtime at the
+    # 4M envelope edge (evidence_r4/scaling_r.log execution fault).
+    keep = int(policy.finalist_prescreen)
+    if 0 < keep < int(t_best.shape[0]):
+        from triplet_match_tpu.search.score import finish_find as _pre_ff
+
+        pre_counts = _finalist_map(
+            lambda t: _pre_ff(
+                model, cloud, tangent_mask, consumed, t, 2.0 * dist_thres,
+                weighted_distance=policy.weighted_distance,
+                negative_scores=policy.negative_scores,
+                samples_on_all=policy.samples_on_all,
+                axis_name=axis_name,
+            ).count,
+            t_best, cloud.xyz.shape[0],
+        )
+        # counts are psum'd inside finish_find under axis_name, so the
+        # top_k selection is shard-invariant; ties break toward the
+        # higher-ranked hypothesis (top_k is stable in index order)
+        _, sel = jax.lax.top_k(pre_counts, keep)
+        t_best = t_best[sel]
+
     # reference-faithful relaxed ICP only; the tight polish runs AFTER (and
     # gated on) acceptance — it improves the reported pose, never which
     # matches are accepted, so the no-match confirmation rounds skip its
@@ -938,8 +967,14 @@ def find_all(
             two_phase_fine_stride=fine_stride,
             two_phase_keep_frac=min(policy.two_phase_keep_frac, 8),
             finalists=max(policy.finalists, policy.adaptive_finalists),
+            finalist_prescreen=(policy.finalist_prescreen
+                                or policy.finalists),
         )
         stats["fine_rescore_full"] = True
+        stats["finalist_prescreen"] = int(policy.finalist_prescreen)
+        # the widened ranking funnel (stats["finalists"] counts what reaches
+        # the relaxed-ICP join, i.e. the post-prescreen width)
+        stats["finalist_funnel"] = int(policy.finalists)
     if ball_q is not None:
         stats["ball_population_q95"] = int(ball_q)
     if use_pallas and not policy.pallas_interpret and jax.default_backend() != "tpu":
