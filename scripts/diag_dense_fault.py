@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--finalists", type=int, default=16,
                     help="adaptive_finalists (fog-switch funnel width)")
     ap.add_argument("--icp", type=int, default=10, help="max_icp_iterations")
+    ap.add_argument("--prescreen", type=int, default=None,
+                    help="finalist_prescreen override (explicit policy values "
+                         "win over find_all's fog-switch default; -1 disables "
+                         "the prescreen by matching the funnel width)")
     ap.add_argument("--tight", type=int, default=None,
                     help="tight_icp_iterations override")
     ap.add_argument("--seed", type=int, default=1)
@@ -62,6 +66,9 @@ def main():
     disc = DiscretizationParams()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
     policy = SearchPolicy(adaptive_finalists=args.finalists)
+    if args.prescreen is not None:
+        pre = args.finalists if args.prescreen < 0 else args.prescreen
+        policy = dataclasses.replace(policy, finalist_prescreen=pre)
     if args.tight is not None:
         policy = dataclasses.replace(policy, tight_icp_iterations=args.tight)
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)

@@ -273,3 +273,42 @@ def test_sp_round_with_scene_smaller_than_b1():
     t_inv = np.asarray(invert_rigid(res.transform[f]))
     dt, _ = pose_delta(jnp.asarray(t_inv), jnp.asarray(t_gt))
     assert float(dt) < 6e-3
+
+
+def test_prescreen_sp_sharded_matches_single_chip(setup):
+    """The exact-count finalist prescreen under sp sharding must be
+    shard-invariant: finish_find psums the per-shard counts before the
+    top_k cut, so the sharded round keeps the same finalists — and accepts
+    the same matches at the same poses — as the single chip.  Guards the
+    4M envelope path (the density switch enables the prescreen exactly in
+    the regime where scenes get sp-sharded)."""
+    model, prep, t_gt, mpack = setup
+    pol = dataclasses.replace(POLICY, finalists=6, finalist_prescreen=2)
+    key = jax.random.PRNGKey(11)
+    n = prep.cloud.xyz.shape[0]
+
+    r1, c1, f1 = jax.jit(
+        partial(
+            search_round,
+            discretization=DISC, sample_params=SAMPLE, policy=pol,
+            max_icp_iterations=5,
+        )
+    )(model, prep, jnp.zeros(n, bool), jnp.zeros(n, bool),
+      jax.random.fold_in(key, 0), jnp.float32(3.0), jnp.float32(0.5), mpack)
+    r2, c2, f2 = jax.jit(
+        partial(
+            search_round_2d, make_mesh_2d(1, 4),
+            discretization=DISC, sample_params=SAMPLE, policy=pol,
+            max_icp_iterations=5,
+        )
+    )(model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool),
+      jnp.zeros(n, bool), key, jnp.float32(3.0), jnp.float32(0.5), mpack)
+
+    assert np.asarray(r1.accept).shape[0] == 2  # the prescreen cut applied
+    np.testing.assert_array_equal(np.asarray(r1.accept), np.asarray(r2.accept))
+    np.testing.assert_array_equal(np.asarray(r1.count), np.asarray(r2.count))
+    np.testing.assert_allclose(
+        np.asarray(r1.transform), np.asarray(r2.transform), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.asarray(r1.accept).any()
