@@ -251,6 +251,19 @@ class SearchPolicy:
     # ICP (pre-round-4 behavior).  Only consulted when the fog switch
     # raises the funnel (find_all sets it to the base ``finalists``).
     finalist_prescreen: int = 0
+    # rank hypotheses on EDGE-eligible scene points only (the
+    # samples_on_all=False eligibility, scoped to the RANKING pack and the
+    # finalist prescreen; ICP / finish_find / acceptance semantics are
+    # untouched).  Acceptance requires score_t >= match_factor * n_edge
+    # tangent-bearing correspondences (impl/scene.hpp:193-237) and fog has
+    # no tangents — so in a fog-dominated scene, poses embedded in dense
+    # fog out-COUNT the true pose at the strict band (4M seed-2: the true
+    # pose cracks neither a 16- nor a 32-wide funnel,
+    # evidence_r4/diag4m_s2_*.jsonl) while being unacceptable by
+    # construction.  Ranking by the acceptance statistic (edge corrs) makes
+    # fog poses score 0.  None = auto: the fog-density switch enables it
+    # when the model has edge points; explicit True/False wins.
+    rank_edges_only: bool | None = None
     # poses per kernel program: per-program fixed costs (operand DMA
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)

@@ -55,7 +55,7 @@ from triplet_match_tpu.index.model import CompiledModel, query_pairs
 from triplet_match_tpu.ops.knn import radius_sample
 from triplet_match_tpu.refine.icp import icp_refine
 from triplet_match_tpu.search import score_pallas as sp
-from triplet_match_tpu.search.driver import RoundResult
+from triplet_match_tpu.search.driver import RoundResult, _rank_on_all
 from triplet_match_tpu.search.sampling import hash_uniform
 
 DCN_AXIS = "dcn"
@@ -216,7 +216,7 @@ def search_round_2d(
         nb_pr = jnp.where(nb_ok, hash_uniform(k3, gidx[nb_idx]), _INF)
         # channels the kernel consumes — shared layout home
         ch = sp.group_channels(cloud, tangent_mask, consumed, nb_idx, nb_ok,
-                               samples_on_all=policy.samples_on_all)  # [B1, K, 8]
+                               samples_on_all=_rank_on_all(policy))  # [B1, K, 8]
         _, (ch_m,) = _merge_sp_topk(nb_pr, ks, ch)
         groups = jnp.swapaxes(ch_m, 1, 2)  # [B1, 8, K]
 

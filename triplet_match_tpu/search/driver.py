@@ -341,7 +341,7 @@ def hypothesize_and_score(
         from triplet_match_tpu.search import score_pallas as sp
 
         groups = sp.pack_groups(cloud, prep.tangent_mask, consumed, nbr_idx, nbr_in_r,
-                                samples_on_all=policy.samples_on_all)
+                                samples_on_all=_rank_on_all(policy))
         rows = sp.poses_to_rows(ts.reshape(b1, b2 * qcap, 4, 4))
         scores = sp.rank_groups(
             mpack, groups, rows, thres * thres,
@@ -356,7 +356,7 @@ def hypothesize_and_score(
                 model, cloud, prep.tangent_mask, consumed, ts_b, idx, iv, thres,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
-                samples_on_all=policy.samples_on_all,
+                samples_on_all=_rank_on_all(policy),
             )
             invalid = -1.0e12 if policy.negative_scores else -1.0
             return jnp.where(ok_b, s, invalid)
@@ -428,6 +428,17 @@ def finalize_round(
 _FINALIST_ROW_BUDGET = 8 * 1024 * 1024
 
 
+def _rank_on_all(policy) -> bool:
+    """Effective ``samples_on_all`` for RANKING surfaces (the kernel pack,
+    the jnp ranking fallback, and the finalist prescreen).  ``policy.
+    rank_edges_only`` narrows ranking eligibility to tangent-bearing points
+    — the statistic greedy acceptance actually gates on (score_t >=
+    match_factor * n_edge) — without touching ICP/finish_find/acceptance
+    semantics.  Fog has no tangents, so fog-embedded poses rank at 0 where
+    all-point counts drown the true pose (evidence_r4/diag4m_s2_*)."""
+    return policy.samples_on_all and not bool(policy.rank_edges_only)
+
+
 def _finalist_map(fn, ts, n_scene: int):
     """vmap ``fn`` over finalist poses ``ts`` [F, 4, 4], chunking the batch
     when F * n_scene would materialize scene-sized per-finalist fusions
@@ -473,7 +484,7 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
                 model, cloud, tangent_mask, consumed, t, 2.0 * dist_thres,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
-                samples_on_all=policy.samples_on_all,
+                samples_on_all=_rank_on_all(policy),
                 axis_name=axis_name,
             ).count,
             t_best, cloud.xyz.shape[0],
@@ -969,9 +980,19 @@ def find_all(
             finalists=max(policy.finalists, policy.adaptive_finalists),
             finalist_prescreen=(policy.finalist_prescreen
                                 or policy.finalists),
+            # rank by the acceptance statistic: in the fog regime all-point
+            # counts are dominated by fog-embedded poses that can never be
+            # accepted (acceptance needs tangent-bearing corrs; fog has no
+            # tangents) — the 4M seed-2 true pose cracks neither a 16- nor
+            # 32-wide funnel under all-point ranking (diag4m_s2_*).  Only
+            # meaningful when the model has edge points to gate on.
+            rank_edges_only=(policy.rank_edges_only
+                             if policy.rank_edges_only is not None
+                             else int(model.n_edge) > 0),
         )
         stats["fine_rescore_full"] = True
         stats["finalist_prescreen"] = int(policy.finalist_prescreen)
+        stats["rank_edges_only"] = bool(policy.rank_edges_only)
         # the widened ranking funnel (stats["finalists"] counts what reaches
         # the relaxed-ICP join, i.e. the post-prescreen width)
         stats["finalist_funnel"] = int(policy.finalists)
