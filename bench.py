@@ -165,6 +165,87 @@ def main(model_points: int | None = None):
     }))
 
 
+def main_dense(points: int | None = None):
+    """Dense-regime end-to-end benchmark (``--dense``).
+
+    The headline kernel metric is measured at bench density, where the
+    fog-density switch (and with it the widened finalist funnel, the
+    exact-count prescreen, and the subset join) is INACTIVE — so a
+    regression in the dense-scale join never moves the default bench row
+    (round 4 shipped a 22 s -> 52 s 2M regression invisible to bench.py).
+    This mode runs the recall-protocol touching-fog scene at 2M points
+    (the r4 scaling fixture: box model, fog_patches extent 5) and reports
+    the STEADY search seconds — second search on a second scene seed, all
+    round executables warm.  vs_baseline is against the best round-4
+    hardware row (22.37 s, RESULTS_r4 r4_hw_scaling_ann); higher is better
+    (baseline_seconds / measured).
+    """
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/tmp/tmtpu_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.index.model import compile_model
+    from triplet_match_tpu.io.synthetic import fog_patches, make_box_model, rotation_matrix
+    from triplet_match_tpu.search.driver import find_all, prepare_scene
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_pts = points if points is not None else (2097152 if on_tpu else 32768)
+
+    disc = DiscretizationParams()
+    sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
+    policy = SearchPolicy() if on_tpu else SearchPolicy(
+        scorer="pallas", pallas_interpret=True, num_first_samples=64, max_rounds=2)
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
+
+    def build_scene(n_points, seed):
+        # the recall-protocol scene (scripts/recall_study.build_scene):
+        # duplicated here so the bench artifact has no scripts/ dependency
+        rngc = np.random.default_rng(1000 + seed)
+        r_inst = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
+        t_off = rngc.uniform(-1.5, 1.5, 3).astype(np.float32)
+        c_xyz, c_nrm = fog_patches(rngc, n_points - xyz.shape[0],
+                                   seed_base=5000 + 100 * seed)
+        s_xyz = np.concatenate([
+            xyz @ r_inst.T + t_off
+            + rngc.normal(0, 0.001, xyz.shape).astype(np.float32), c_xyz])
+        s_nrm = np.concatenate([nrm @ r_inst.T, c_nrm])
+        s_tan = np.concatenate([tan @ r_inst.T, np.zeros_like(c_xyz)])
+        return PointCloud.from_arrays(s_xyz, s_nrm, s_tan)
+
+    steady = None
+    found = 0
+    for seed in (1, 2):
+        scene = build_scene(n_pts, seed)
+        prep = prepare_scene(scene, policy)
+        jax.block_until_ready(prep.tangent_mask)
+        t0 = time.perf_counter()
+        m = find_all(model, scene, dist_thres=3.0, model_match_factor=0.5,
+                     sample_params=sample, discretization=disc, policy=policy,
+                     max_icp_iterations=10, seed=5, prep=prep)
+        steady = time.perf_counter() - t0  # last seed = steady state
+        found += len(m)
+
+    baseline_s = 22.37  # RESULTS_r4 r4_hw_scaling_ann 2M steady
+    print(json.dumps({
+        "metric": "dense_steady_search_seconds",
+        "value": round(steady, 2),
+        "unit": "seconds",
+        "vs_baseline": round(baseline_s / steady, 4),
+        "points": n_pts,
+        "found": found,
+    }))
+
+
 def _wait_for_tpu_tunnel():
     """Bounded wait for the axon TPU tunnel before touching jax in-process.
 
@@ -226,6 +307,11 @@ if __name__ == "__main__":
     ap.add_argument("--model-points", type=int, default=None,
                     help="model size for the scaling study (default: the "
                          "standard 2.4k benchmark model)")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense-regime end-to-end mode: steady search "
+                         "seconds on the 2M touching-fog protocol scene")
+    ap.add_argument("--dense-points", type=int, default=None,
+                    help="scene size for --dense (default 2M on TPU)")
     args = ap.parse_args()
 
     _wait_for_tpu_tunnel()
@@ -233,12 +319,14 @@ if __name__ == "__main__":
     # the remote TPU runtime occasionally faults transiently
     # (UNAVAILABLE/INVALID_ARGUMENT) after long-running prior programs;
     # one retry in a fresh attempt reliably succeeds
+    run_main = ((lambda: main_dense(args.dense_points)) if args.dense
+                else (lambda: main(args.model_points)))
     try:
-        main(args.model_points)
+        run_main()
     except Exception as e:  # pragma: no cover - hardware flake path
         import sys
         import time as _t
 
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying", file=sys.stderr)
         _t.sleep(10)
-        main(args.model_points)
+        run_main()

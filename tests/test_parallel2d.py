@@ -312,3 +312,46 @@ def test_prescreen_sp_sharded_matches_single_chip(setup):
     )
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     assert np.asarray(r1.accept).any()
+
+
+def test_join_subset_sp_round_matches_full_join():
+    """The candidate-subset join under sp sharding: per-shard candidate
+    gathers + psum'd counts must reproduce the full-join round exactly
+    (same finalists, accepts, counts, poses to float tolerance), with the
+    per-shard capacity honest (join_overflow == 0).  Guards the dense-scale
+    path where the fog switch enables BOTH the subset join and sp sharding."""
+    xyz, nrm, tan = make_box_model(n_edge=240, n_face=720, size=(1.0, 0.8, 0.6), seed=0)
+    pol = dataclasses.replace(POLICY, finalists=6, finalist_prescreen=2,
+                              join_subset_capacity=1024)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE,
+                          pol, pair_block=128)
+    scene, t_gt, _ = embed_in_scene(
+        xyz, nrm, tan, noise=0.001, n_clutter=3240, clutter_extent=5.0, seed=11,
+        capacity=4200,  # n_local 1050 > capacity 1024 -> subset active per shard
+    )
+    prep = prepare_scene(scene, pol)
+    mpack = sp.pack_model(model)
+    key = jax.random.PRNGKey(11)
+    n = prep.cloud.xyz.shape[0]
+
+    def run_2d(p):
+        return jax.jit(
+            partial(
+                search_round_2d, make_mesh_2d(1, 4),
+                discretization=DISC, sample_params=SAMPLE, policy=p,
+                max_icp_iterations=5,
+            )
+        )(model, prep.cloud, prep.tangent_mask, jnp.zeros(n, bool),
+          jnp.zeros(n, bool), key, jnp.float32(3.0), jnp.float32(0.5), mpack)
+
+    r_sub, c_sub, _ = run_2d(pol)
+    r_full, c_full, _ = run_2d(dataclasses.replace(pol, join_subset_capacity=0))
+
+    assert int(r_sub.join_overflow) == 0  # capacity precondition held
+    assert np.asarray(r_sub.accept).any()
+    np.testing.assert_array_equal(np.asarray(r_sub.accept), np.asarray(r_full.accept))
+    np.testing.assert_array_equal(np.asarray(r_sub.count), np.asarray(r_full.count))
+    np.testing.assert_allclose(
+        np.asarray(r_sub.transform), np.asarray(r_full.transform), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(c_sub), np.asarray(c_full))

@@ -264,6 +264,29 @@ class SearchPolicy:
     # fog poses score 0.  None = auto: the fog-density switch enables it
     # when the model has edge points; explicit True/False wins.
     rank_edges_only: bool | None = None
+    # candidate-subset join: run the finalist prescreen / relaxed ICP /
+    # tight polish / claim passes over a per-finalist GATHERED subset of the
+    # scene instead of all N points.  A scene point can correspond to a
+    # posed model only if its transformed position lands inside the voxel
+    # grid — every scoring surface gates on voxel_query's in_bounds
+    # (impl/model.hpp:180-192 nullopt branch) — so gathering the points
+    # whose voxel coordinates fall inside the grid plus a slack border is
+    # exact by construction while the pose stays within the slack
+    # (candidates are regathered at each join phase boundary).  This is
+    # what bounds the dense-scale join: at 2-4M points the join's
+    # O(funnel * N * passes) full-scene LUT gathers dominate end-to-end
+    # search seconds (52 s of a 2M steady search, RESULTS_r4
+    # r4_hw_scaling_t), while the in-grid candidate set is a few percent
+    # of the scene.  None = auto: the fog-density switch sizes it
+    # (max(65536, N/16), pow2); 0 = always full-scene passes; explicit
+    # values win.  Per-finalist candidate overflow beyond the capacity is
+    # reported in LAST_SEARCH_STATS["join_overflow_max"] (0 = the subset
+    # passes were exact).
+    join_subset_capacity: int | None = None
+    # world-space candidate slack in multiples of the *relaxed* gate
+    # (2 x dist_thres x resolution): covers pose motion across the ICP
+    # iterations between candidate regatherings
+    join_subset_slack: float = 4.0
     # poses per kernel program: per-program fixed costs (operand DMA
     # latency, epilogue) dominate below 16; 32 measured best on v5e at the
     # 256-rep coarse block (VMEM pressure caps it)

@@ -304,7 +304,7 @@ def search_round_2d(
         from triplet_match_tpu.search.driver import accept_and_polish
 
         (t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores,
-         consumed_next) = accept_and_polish(
+         consumed_next, join_overflow) = accept_and_polish(
             model, cloud, tangent_mask, consumed, t_best, dist_thres,
             model_match_factor, policy=policy,
             max_icp_iterations=max_icp_iterations, axis_name=SP_AXIS,
@@ -335,6 +335,7 @@ def search_round_2d(
             count=fin_counts,
             score=fin_scores,
             hypotheses_scored=n_hyp_all,
+            join_overflow=join_overflow,
         )
         return result, consumed_next, fp_next
 
@@ -348,7 +349,7 @@ def search_round_2d(
             RoundResult(
                 transform=P(), accept=P(), new_corr=corr_spec,
                 model_idx=corr_spec, count=P(), score=P(),
-                hypotheses_scored=P(),
+                hypotheses_scored=P(), join_overflow=P(),
             ),
             pt_spec,
             pt_spec,

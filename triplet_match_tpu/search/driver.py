@@ -251,6 +251,9 @@ class RoundResult(NamedTuple):
     count: jax.Array  # [F] int32 total corrs from ICP finish_find
     score: jax.Array  # [F] float32 signed score (unnormalized)
     hypotheses_scored: jax.Array  # int32 diagnostics
+    # worst per-finalist candidate overflow of the subset join (0 = exact
+    # or subset path off; see policy.join_subset_capacity)
+    join_overflow: jax.Array = np.int32(0)
 
 
 def hypothesize_and_score(
@@ -397,12 +400,11 @@ def finalize_round(
     """
     cloud = prep.cloud
     fp_next = fp_mask.at[first_idx].set(fp_mask[first_idx] | first_valid)
-    t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores, consumed_next = (
-        accept_and_polish(
-            model, cloud, prep.tangent_mask, consumed, t_best, dist_thres,
-            model_match_factor, policy=policy,
-            max_icp_iterations=max_icp_iterations,
-        )
+    (t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores,
+     consumed_next, join_overflow) = accept_and_polish(
+        model, cloud, prep.tangent_mask, consumed, t_best, dist_thres,
+        model_match_factor, policy=policy,
+        max_icp_iterations=max_icp_iterations,
     )
     result = RoundResult(
         transform=t_fin,
@@ -412,6 +414,7 @@ def finalize_round(
         count=fin_counts,
         score=fin_scores,
         hypotheses_scored=n_hyp,
+        join_overflow=join_overflow,
     )
     return result, consumed_next, fp_next
 
@@ -428,6 +431,18 @@ def finalize_round(
 _FINALIST_ROW_BUDGET = 8 * 1024 * 1024
 
 
+def _auto_join_capacity(n_scene: int) -> int:
+    """Fog-switch default for ``policy.join_subset_capacity``: pow2 of
+    max(65536, N/16).  The in-grid candidate population of a posed model is
+    a few percent of a dense scene (model bbox volume / scene volume), so
+    N/16 carries an order-of-magnitude safety margin; overflow, if a scene
+    ever concentrates harder, is exact-counted and surfaced in
+    LAST_SEARCH_STATS["join_overflow_max"]."""
+    want = max(65536, n_scene // 16)
+    cap = 1 << (want - 1).bit_length()
+    return int(min(cap, n_scene))
+
+
 def _rank_on_all(policy) -> bool:
     """Effective ``samples_on_all`` for RANKING surfaces (the kernel pack,
     the jnp ranking fallback, and the finalist prescreen).  ``policy.
@@ -439,18 +454,82 @@ def _rank_on_all(policy) -> bool:
     return policy.samples_on_all and not bool(policy.rank_edges_only)
 
 
-def _finalist_map(fn, ts, n_scene: int):
-    """vmap ``fn`` over finalist poses ``ts`` [F, 4, 4], chunking the batch
-    when F * n_scene would materialize scene-sized per-finalist fusions
-    beyond ``_FINALIST_ROW_BUDGET`` (see above).  Per-finalist results are
+def _finalist_map(fn, ts, n_scene: int, *extra):
+    """vmap ``fn`` over finalist poses ``ts`` [F, 4, 4] (plus optional
+    per-finalist ``extra`` pytrees), chunking the batch when F * n_scene
+    would materialize scene-sized per-finalist fusions beyond
+    ``_FINALIST_ROW_BUDGET`` (see above).  Per-finalist results are
     independent, so chunking is a pure regrouping (equal to float
     tolerance: batched and unbatched linalg kernels round differently in
     the Kabsch SVD — pinned by test_finalist_chunked_map_equivalent)."""
     f = int(ts.shape[0])
     if f * n_scene <= _FINALIST_ROW_BUDGET:
-        return jax.vmap(fn)(ts)
+        return jax.vmap(fn)(ts, *extra)
     fc = max(1, _FINALIST_ROW_BUDGET // max(n_scene, 1))
+    if extra:
+        return jax.lax.map(lambda a: fn(*a), (ts, *extra), batch_size=min(fc, f))
     return jax.lax.map(fn, ts, batch_size=min(fc, f))
+
+
+def _candidate_subset(model, cloud, tangent_mask, consumed, ts, dist_thres,
+                      capacity: int, slack: float):
+    """Per-finalist candidate sub-scenes for the join's scene-sized passes.
+
+    A scene point can correspond to a posed model ONLY if its transformed
+    position lands inside the voxel grid: every scoring surface gates on
+    ``voxel_query``'s in_bounds (the nullopt branch of
+    /root/reference/include/impl/model.hpp:180-192), so the points whose
+    voxel coordinates fall within the grid plus a slack border are an exact
+    eligibility superset while the pose stays within the slack (``slack``
+    is in multiples of the relaxed 2x gate; the join regathers candidates
+    at each phase boundary — prescreen/ICP at the ranked pose, tight polish
+    at the relaxed-ICP pose, final claim at the polished pose).  The +1.5
+    voxel floor covers ``voxel_query_exact``'s half-voxel widening.
+
+    Returns (sub_cloud, sub_tangent_mask, sub_consumed, idx, idx_valid,
+    n_candidates), each with a leading finalist dim; padding rows carry
+    valid=False / consumed=True.  ``n_candidates`` is the exact per-finalist
+    in-border population — values above ``capacity`` mean the subset pass
+    undercounted and are surfaced as the join_overflow stat.
+    """
+    n = cloud.xyz.shape[0]
+    cap = int(min(int(capacity), n))
+    relaxed_w = 2.0 * jnp.float32(dist_thres) * model.resolution
+    ex, ey, ez = model.lut.shape
+    hi = jnp.asarray([ex - 1, ey - 1, ez - 1], jnp.float32)
+    scale = jnp.diagonal(model.to_voxel)[:3]
+    s_vox = jnp.float32(slack) * relaxed_w * scale + 1.5
+
+    def one(t):
+        m = model.to_voxel @ t  # scene point -> voxel coords, one affine
+        v = jnp.matmul(cloud.xyz, m[:3, :3].T,
+                       precision=jax.lax.Precision.HIGHEST) + m[:3, 3]
+        mask = jnp.all((v >= -s_vox) & (v <= hi + s_vox), axis=-1) & cloud.valid
+        idx = jnp.where(mask, size=cap, fill_value=n)[0].astype(jnp.int32)
+        return idx, jnp.sum(mask, dtype=jnp.int32)
+
+    idx, n_cand = jax.lax.map(one, ts)  # sequential over F: no [F, N, 3] buffer
+    idx_valid = idx < n
+    idxc = jnp.minimum(idx, n - 1)
+    sub_cloud = cl.PointCloud(
+        xyz=cloud.xyz[idxc], normal=cloud.normal[idxc],
+        tangent=cloud.tangent[idxc], valid=cloud.valid[idxc] & idx_valid,
+    )
+    return (sub_cloud, tangent_mask[idxc], consumed[idxc] | ~idx_valid,
+            idx, idx_valid, n_cand)
+
+
+def _scatter_corrs(idx, idx_valid, sub_valid, sub_midx, n: int):
+    """Scatter per-finalist subset correspondences back to scene shape
+    ([F, C] -> [F, N]); padding rows (fill index n) drop out of bounds."""
+
+    def one(i, iv, v, m):
+        full_v = jnp.zeros((n,), bool).at[i].set(v & iv, mode="drop")
+        full_m = jnp.zeros((n,), jnp.int32).at[i].set(
+            jnp.where(iv, m, 0), mode="drop")
+        return full_v, full_m
+
+    return jax.vmap(one)(idx, idx_valid, sub_valid, sub_midx)
 
 
 def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
@@ -463,9 +542,21 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
     fix can never land in one path and miss another.
 
     Returns (t_fin, accept, new_corr, model_idx, counts, scores,
-    consumed').  ``new_corr``/``model_idx``/``consumed'`` are shaped like
-    the (possibly sharded) scene axis of ``cloud``.
+    consumed', join_overflow).  ``new_corr``/``model_idx``/``consumed'``
+    are shaped like the (possibly sharded) scene axis of ``cloud``;
+    ``join_overflow`` is the worst per-finalist candidate overflow of the
+    subset join (0 when the subset passes were exact or the subset path is
+    off — see ``policy.join_subset_capacity``).
     """
+    n_scene = int(cloud.xyz.shape[0])
+    cap = int(policy.join_subset_capacity or 0)
+    use_subset = 0 < cap < n_scene
+    join_overflow = jnp.int32(0)
+
+    def _subset(ts):
+        return _candidate_subset(model, cloud, tangent_mask, consumed, ts,
+                                 dist_thres, cap, policy.join_subset_slack)
+
     # exact-count prescreen: when the fog switch widened the funnel, rank
     # the widened set by ONE full-scene relaxed-count pass each (the
     # acceptance statistic itself — the true pose's margin over fog poses
@@ -479,16 +570,25 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
     if 0 < keep < int(t_best.shape[0]):
         from triplet_match_tpu.search.score import finish_find as _pre_ff
 
-        pre_counts = _finalist_map(
-            lambda t: _pre_ff(
-                model, cloud, tangent_mask, consumed, t, 2.0 * dist_thres,
+        def _pre_count(t, sc, tm, co):
+            return _pre_ff(
+                model, sc, tm, co, t, 2.0 * dist_thres,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 samples_on_all=_rank_on_all(policy),
                 axis_name=axis_name,
-            ).count,
-            t_best, cloud.xyz.shape[0],
-        )
+            ).count
+
+        if use_subset:
+            sub, stm, scons, _, _, n_cand = _subset(t_best)
+            pre_counts = _finalist_map(_pre_count, t_best, cap, sub, stm, scons)
+            join_overflow = jnp.maximum(
+                join_overflow, jnp.max(n_cand) - jnp.int32(cap))
+        else:
+            pre_counts = _finalist_map(
+                lambda t: _pre_count(t, cloud, tangent_mask, consumed),
+                t_best, n_scene,
+            )
         # counts are psum'd inside finish_find under axis_name, so the
         # top_k selection is shard-invariant; ties break toward the
         # higher-ranked hypothesis (top_k is stable in index order)
@@ -499,21 +599,32 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
     # gated on) acceptance — it improves the reported pose, never which
     # matches are accepted, so the no-match confirmation rounds skip its
     # finish_find passes entirely (3 of the 5 per round at 131k — ROADMAP 3e)
-    icp = _finalist_map(
-        lambda t: icp_refine(
-            model, cloud, tangent_mask, consumed, t, dist_thres, max_icp_iterations,
+    def _icp(t, sc, tm, co):
+        return icp_refine(
+            model, sc, tm, co, t, dist_thres, max_icp_iterations,
             tight_iterations=0,
             weighted_distance=policy.weighted_distance,
             negative_scores=policy.negative_scores,
             point_to_plane=policy.icp_point_to_plane,
             samples_on_all=policy.samples_on_all,
             axis_name=axis_name,
-        ),
-        t_best, cloud.xyz.shape[0],
-    )
+        )
+
+    if use_subset:
+        sub, stm, scons, s_idx, s_ividx, n_cand = _subset(t_best)
+        icp = _finalist_map(_icp, t_best, cap, sub, stm, scons)
+        join_overflow = jnp.maximum(
+            join_overflow, jnp.max(n_cand) - jnp.int32(cap))
+        corr_valid, corr_midx = _scatter_corrs(
+            s_idx, s_ividx, icp.corrs.valid, icp.corrs.model_idx, n_scene)
+    else:
+        icp = _finalist_map(
+            lambda t: _icp(t, cloud, tangent_mask, consumed),
+            t_best, n_scene,
+        )
+        corr_valid = icp.corrs.valid  # [F, N] (sharded N under axis_name)
+        corr_midx = icp.corrs.model_idx
     t_fin = icp.transform
-    corr_valid = icp.corrs.valid  # [F, N] (sharded N under axis_name)
-    corr_midx = icp.corrs.model_idx
     fin_counts = icp.corrs.count  # [F] replicated (psum'd under axis_name)
     fin_scores = icp.corrs.score
 
@@ -552,7 +663,11 @@ def accept_and_polish(model, cloud, tangent_mask, consumed, t_best, dist_thres,
             )
         )
 
-    return t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores, consumed_next
+    if axis_name is not None:
+        # per-shard candidate counts differ; replicate the worst overflow
+        join_overflow = jax.lax.pmax(join_overflow, axis_name)
+    return (t_fin, accept, new_corr, corr_midx, fin_counts, fin_scores,
+            consumed_next, join_overflow)
 
 
 def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
@@ -576,11 +691,14 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
     from triplet_match_tpu.search.score import finish_find
 
     relaxed = 2.0 * dist_thres  # icp_'s reporting gate (impl/scene.hpp:373)
+    n_scene = int(cloud.xyz.shape[0])
+    cap = int(policy.join_subset_capacity or 0)
+    use_subset = 0 < cap < n_scene
 
     def polish_branch(ts):
-        t_pol = _finalist_map(
-            lambda t: tight_polish(
-                model, cloud, tangent_mask, consumed, t, dist_thres,
+        def _polish(t, sc, tm, co):
+            return tight_polish(
+                model, sc, tm, co, t, dist_thres,
                 iterations=policy.tight_icp_iterations,
                 orientation_weight=policy.tight_orientation_weight,
                 anneal=policy.tight_anneal,
@@ -589,23 +707,45 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
                 point_to_plane=policy.icp_point_to_plane,
                 samples_on_all=policy.samples_on_all,
                 axis_name=axis_name,
-            ),
-            ts, cloud.xyz.shape[0],
-        )
-        corrs = _finalist_map(
-            lambda t: finish_find(
-                model, cloud, tangent_mask, consumed, t, relaxed,
+            )
+
+        def _ff(t, sc, tm, co):
+            return finish_find(
+                model, sc, tm, co, t, relaxed,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 samples_on_all=policy.samples_on_all,
                 axis_name=axis_name,
-            ),
-            t_pol, cloud.xyz.shape[0],
-        )
+            )
+
+        if use_subset:
+            # regather at each phase boundary: tight polish on candidates
+            # at the entry (relaxed-ICP) poses, the final claim pass on
+            # candidates at the polished poses
+            sub, stm, scons, _, _, _ = _candidate_subset(
+                model, cloud, tangent_mask, consumed, ts, dist_thres, cap,
+                policy.join_subset_slack)
+            t_pol = _finalist_map(_polish, ts, cap, sub, stm, scons)
+            sub2, stm2, scons2, p_idx, p_ividx, _ = _candidate_subset(
+                model, cloud, tangent_mask, consumed, t_pol, dist_thres, cap,
+                policy.join_subset_slack)
+            corrs_sub = _finalist_map(_ff, t_pol, cap, sub2, stm2, scons2)
+            corr_v, corr_m = _scatter_corrs(
+                p_idx, p_ividx, corrs_sub.valid, corrs_sub.model_idx, n_scene)
+            counts_p, scores_p = corrs_sub.count, corrs_sub.score
+        else:
+            t_pol = _finalist_map(
+                lambda t: _polish(t, cloud, tangent_mask, consumed),
+                ts, n_scene)
+            corrs = _finalist_map(
+                lambda t: _ff(t, cloud, tangent_mask, consumed),
+                t_pol, n_scene)
+            corr_v, corr_m = corrs.valid, corrs.model_idx
+            counts_p, scores_p = corrs.count, corrs.score
 
         def claim(used, args):
             f, ok = args
-            cv = corrs.valid[f]
+            cv = corr_v[f]
             new = cv & ~used
             used = jnp.where(ok, used | cv, used)
             return used, new
@@ -613,7 +753,7 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
         _, new_ord = jax.lax.scan(claim, consumed, (order, acc_ord))
         new_c = new_ord[inv_order]
         consumed2 = consumed | jnp.any(new_c & accept[:, None], axis=0)
-        return t_pol, new_c, corrs.model_idx, corrs.count, corrs.score, consumed2
+        return t_pol, new_c, corr_m, counts_p, scores_p, consumed2
 
     return jax.lax.cond(
         accept.any(), polish_branch, lambda ts: (ts,) + unpolished, t_fin
@@ -989,10 +1129,21 @@ def find_all(
             rank_edges_only=(policy.rank_edges_only
                              if policy.rank_edges_only is not None
                              else int(model.n_edge) > 0),
+            # bound the join's scene-sized passes: gather per-finalist
+            # in-grid candidate subsets (exact by the voxel_query in_bounds
+            # superset argument — _candidate_subset) instead of walking all
+            # N points per prescreen/ICP/polish pass.  Dense scenes are
+            # exactly where the full-scene join dominates (2M steady 52 s,
+            # RESULTS_r4 r4_hw_scaling_t).
+            join_subset_capacity=(policy.join_subset_capacity
+                                  if policy.join_subset_capacity is not None
+                                  else _auto_join_capacity(
+                                      int(prep.cloud.xyz.shape[0]))),
         )
         stats["fine_rescore_full"] = True
         stats["finalist_prescreen"] = int(policy.finalist_prescreen)
         stats["rank_edges_only"] = bool(policy.rank_edges_only)
+        stats["join_subset_capacity"] = int(policy.join_subset_capacity or 0)
         # the widened ranking funnel (stats["finalists"] counts what reaches
         # the relaxed-ICP join, i.e. the post-prescreen width)
         stats["finalist_funnel"] = int(policy.finalists)
@@ -1119,6 +1270,8 @@ def find_all(
             stats["hypotheses_scored"] += int(res.hypotheses_scored)
             stats["finalists"] += accept.shape[0]
             stats["accepted"] += int(accept.sum())
+            stats["join_overflow_max"] = max(
+                stats.get("join_overflow_max", 0), int(res.join_overflow))
             if not accept.any():
                 continue
             phase_accepted = True
