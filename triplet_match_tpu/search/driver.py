@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 import weakref
 from functools import partial
 from typing import NamedTuple
@@ -1068,8 +1069,17 @@ def find_all(
     if policy.adaptive_second_samples:
         bound = adaptive_inner_bound(prep, model, policy, ball_q=ball_q)
         if bound > policy.num_second_samples:
-            eff_b2 = min(1 << max(int(bound) - 1, 1).bit_length(),
-                         policy.max_second_samples)
+            # TWO-RUNG LADDER (executable-count discipline, ROADMAP 22):
+            # every distinct eff_b2 is its own round executable whose
+            # first-ever resolution pays the erratic remote compile
+            # (45-342 s observed).  Round-4 evidence resolved rungs
+            # {64, 128, 256} across the dense protocols — collapsing all
+            # raises to max_second_samples trades <= 4x of a ~50 ms round
+            # kernel (more second samples never costs recall: the
+            # reference bound stays a floor) for 2 fewer executables per
+            # (capacity, fog-flavor), and lets warmup cover the whole
+            # ladder with one dense scene per bucket.
+            eff_b2 = policy.max_second_samples
             policy = dataclasses.replace(
                 policy, num_second_samples=eff_b2,
                 second_pool=max(policy.second_pool, 2 * eff_b2),
@@ -1356,11 +1366,15 @@ def find_all_multi(
             )
         else:
             prep_m = prep
+        t_search0 = time.perf_counter()
         matches = find_all(model, scene_cloud, policy=policy, prep=prep_m,
                            mesh=mesh, **kwargs)
-        LAST_MULTI_SEARCH_STATS.append(dict(LAST_SEARCH_STATS))
+        mstats = dict(LAST_SEARCH_STATS)
+        mstats["search_s"] = round(time.perf_counter() - t_search0, 3)
+        LAST_MULTI_SEARCH_STATS.append(mstats)
 
         if raycast_origins is not None:
+            t_cast0 = time.perf_counter()
             res = float(model.resolution)
             pr = point_radius if point_radius is not None else res
             dt = depth_tolerance if depth_tolerance is not None else 2.0 * res
@@ -1377,6 +1391,7 @@ def find_all_multi(
                 if min_cast_score is None or m.cast_score >= min_cast_score:
                     kept.append(m)
             matches = kept
+            mstats["raycast_s"] = round(time.perf_counter() - t_cast0, 3)
 
         if consumed_points is None:
             consumed_points = np.zeros(n, bool)
