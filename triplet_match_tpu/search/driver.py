@@ -821,6 +821,33 @@ _BALL_Q_CACHE: dict = {}  # id(xyz) -> (weakref(xyz), params_key, value)
 _BALL_Q_CACHE_MAX = 16
 
 
+@partial(jax.jit, static_argnames=("sample", "ref_sample", "quantile"))
+def _ball_quantile_device(xyz, valid, tangent_mask, diameter, key, *,
+                          sample: int, ref_sample: int, quantile: float):
+    """Device body of :func:`ball_population_quantile`: uniform samples via
+    random-score top_k (no host transfer of the scene arrays — only the
+    scalar result crosses).  Returns (quantile_value, n_edge_eligible);
+    the value is NaN when no eligible firsts exist."""
+    n = xyz.shape[0]
+    edge_ok = tangent_mask & valid
+    ru = jax.random.uniform(key, (n,))
+    f_score = jnp.where(edge_ok, ru, -1.0)
+    _, fidx = jax.lax.top_k(f_score, min(sample, n))
+    f_ok = f_score[fidx] >= 0.0
+    ru2 = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    s_score = jnp.where(valid, ru2, -1.0)
+    _, sidx = jax.lax.top_k(s_score, min(ref_sample, n))
+    s_ok = s_score[sidx] >= 0.0
+    d2 = jnp.sum(
+        jnp.square(xyz[fidx][:, None, :] - xyz[sidx][None, :, :]), axis=-1)
+    in_ball = (d2 <= jnp.square(diameter)) & s_ok[None, :]
+    n_sub = jnp.maximum(jnp.sum(s_ok), 1)
+    n_valid = jnp.sum(valid)
+    frac = jnp.sum(in_ball, axis=1) / n_sub.astype(jnp.float32)
+    pop = jnp.where(f_ok, frac * n_valid.astype(jnp.float32), jnp.nan)
+    return jnp.nanquantile(pop, quantile), jnp.sum(edge_ok)
+
+
 def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
                              sample: int = 256, ref_sample: int = 65536,
                              quantile: float = 0.95, seed: int = 0) -> float:
@@ -828,16 +855,19 @@ def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
     ball around eligible first points (the reference's
     ``radius_search_inclusive`` count, impl/scene.hpp:276).
 
-    Host-side, one dense [sample, ref_sample] pass on a scene subsample —
-    the shared density statistic behind ``adaptive_inner_bound`` and the
-    fog-density fine-rescore switch in ``find_all``.  Returns 0.0 when the
-    scene has no eligible edge points.
+    One jitted [sample, ref_sample] pass over device-side subsamples — the
+    shared density statistic behind ``adaptive_inner_bound`` and the
+    fog-density fine-rescore switch in ``find_all``.  Computed ON DEVICE:
+    the previous host-side pass pulled the full xyz array across (48 MB at
+    4M points — seconds through the TPU tunnel, paid once per
+    (prep, model) and twice per multi-model search); only the scalar
+    crosses now.  Returns 0.0 when the scene has no eligible edge points.
 
     Memoized on the identities of ``prep.cloud.xyz``/``valid``/
     ``tangent_mask`` (plus the parameters):
     the statistic is deterministic, and repeat searches against one prep —
     find_all_multi's per-model loop, multi-instance extraction, the recall
-    studies — would otherwise pay the dense host pass on every call.
+    studies — would otherwise pay the dense pass on every call.
     """
     pkey = (float(model.diameter), sample, ref_sample, quantile, seed)
     # the statistic reads valid and tangent_mask too — masked-patch preps
@@ -849,19 +879,12 @@ def ball_population_quantile(prep: "ScenePrep", model: CompiledModel, *,
     if (hit is not None and all(r() is a for r, a in zip(hit[0], arrs))
             and hit[1] == pkey):
         return hit[2]
-    rng = np.random.default_rng(seed)
-    edge_ok = np.flatnonzero(np.asarray(prep.tangent_mask & prep.cloud.valid))
-    if edge_ok.size == 0:
-        out = 0.0
-    else:
-        valid_idx = np.flatnonzero(np.asarray(prep.cloud.valid))
-        firsts = rng.choice(edge_ok, size=min(sample, edge_ok.size), replace=False)
-        sub = (valid_idx if valid_idx.size <= ref_sample
-               else rng.choice(valid_idx, size=ref_sample, replace=False))
-        xyz = np.asarray(prep.cloud.xyz)
-        d2 = ((xyz[firsts][:, None, :] - xyz[sub][None, :, :]) ** 2).sum(-1)
-        in_ball = (d2 <= float(model.diameter) ** 2).mean(axis=1)
-        out = float(np.quantile(in_ball * valid_idx.size, quantile))
+    q, n_edge_ok = _ball_quantile_device(
+        prep.cloud.xyz, prep.cloud.valid, prep.tangent_mask,
+        jnp.float32(model.diameter), jax.random.PRNGKey(seed),
+        sample=sample, ref_sample=ref_sample, quantile=quantile)
+    q, n_edge_ok = float(q), int(n_edge_ok)
+    out = 0.0 if (n_edge_ok == 0 or math.isnan(q)) else q
     _BALL_Q_CACHE[ck] = (tuple(weakref.ref(a) for a in arrs), pkey, out)
     while len(_BALL_Q_CACHE) > _BALL_Q_CACHE_MAX:
         _BALL_Q_CACHE.pop(next(iter(_BALL_Q_CACHE)))
