@@ -39,6 +39,8 @@ def main():
                          "the prescreen by matching the funnel width)")
     ap.add_argument("--tight", type=int, default=None,
                     help="tight_icp_iterations override")
+    ap.add_argument("--tight-edges", choices=["on", "off"], default=None,
+                    help="tight_edges_only override (None = fog-switch auto)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -71,6 +73,9 @@ def main():
         policy = dataclasses.replace(policy, finalist_prescreen=pre)
     if args.tight is not None:
         policy = dataclasses.replace(policy, tight_icp_iterations=args.tight)
+    if args.tight_edges is not None:
+        policy = dataclasses.replace(policy,
+                                     tight_edges_only=args.tight_edges == "on")
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
     model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
 

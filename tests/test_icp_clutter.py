@@ -206,6 +206,131 @@ def test_tight_anneal_beats_fixed_band_in_dense_fog(dense_fog_scene):
     assert dt_ann < 1.0 and dr_ann < 0.1
 
 
+@pytest.fixture(scope="module")
+def fogbound_scene():
+    """The 4M envelope-EDGE regime at CPU scale: dense touching fog PLUS a
+    coherent phantom shell offset 6 mm along the face normals.  The
+    all-point annealed polish settles in the fog-shifted attractor (the
+    in-band fog mass tracks the band as it tightens — the mechanism behind
+    the 6.3 mm / 2.6 deg hardware row, evidence_r5/diag4m_s2_r5.jsonl);
+    the edge-anchored fit cannot be pulled because fog and shell carry no
+    tangents."""
+    from triplet_match_tpu.io.synthetic import fog_patches
+
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+
+    rng = np.random.default_rng(21)
+    r_inst = rotation_matrix([0.3, 1.0, 0.2], 1.1)
+    i_xyz = (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+
+    c_xyz, c_nrm = fog_patches(rng, 60000, seed_base=4200, extent=0.9)
+    # ONE-SIDED phantom shell: the +z face family pushed 3 mm outward —
+    # INSIDE the anneal's 1/16 floor band, so unlike a far offset (which
+    # the tightening sheds) the shell stays in band as the fit drifts
+    # toward it.  One-sided is essential: a closed outward shell is an
+    # expansion whose rigid-fit pulls cancel by symmetry; the hardware
+    # attractor (evidence_r5/diag4m_s2_r5: 6.3 mm) is a local fog pocket,
+    # i.e. asymmetric by nature
+    face_z = np.flatnonzero(nrm[:, 2] > 0.7)
+    s_idx = rng.choice(face_z, 12000)
+    s_xyz = (((xyz[s_idx] + nrm[s_idx] * 0.003) @ r_inst.T)
+             + rng.normal(0, 0.001, (12000, 3))).astype(np.float32)
+    s_nrm = (nrm[s_idx] @ r_inst.T).astype(np.float32)
+
+    scene = PointCloud.from_arrays(
+        np.concatenate([i_xyz, c_xyz, s_xyz]),
+        np.concatenate([nrm @ r_inst.T, c_nrm, s_nrm]),
+        np.concatenate([tan @ r_inst.T,
+                        np.zeros_like(c_xyz), np.zeros_like(s_xyz)]),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = rotation_matrix([0.5, -0.2, 0.8], np.deg2rad(1.5))
+    pert[:3, 3] = [0.010, -0.008, 0.006]
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    return model, prep, consumed, t0, t_gt
+
+
+def test_edge_anchored_polish_beats_all_point_in_fogbound(fogbound_scene):
+    """policy.tight_edges_only: in the fogbound regime the edge-anchored
+    annealed polish must land sub-mm where the all-point annealed polish
+    is pulled mm-off by the tangent-less fog/shell mass."""
+    model, prep, consumed, t0, t_gt = fogbound_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    dt_all, _ = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, iterations=POLICY.tight_icp_iterations,
+        orientation_weight=POLICY.tight_orientation_weight,
+        anneal=POLICY.tight_anneal), t_gt)
+    dt_edge, dr_edge = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, iterations=POLICY.tight_icp_iterations,
+        orientation_weight=POLICY.tight_orientation_weight,
+        anneal=POLICY.tight_anneal, edges_only=True), t_gt)
+    assert dt_all > 1.5  # the failure mode is real at CPU scale
+    assert dt_edge < 1.0 and dr_edge < 0.1
+
+
+def test_edge_anchored_harmless_on_clean_scene():
+    """Clean-scene control: the edge-gated fit must match the all-point
+    sub-0.5 mm result (box edges span all three directions)."""
+    xyz, nrm, tan = make_box_model(n_edge=300, n_face=900, size=(1.0, 0.8, 0.6), seed=1)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+    rng = np.random.default_rng(3)
+    r_inst = rotation_matrix([0.1, 0.7, 0.4], 0.8)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+    scene = PointCloud.from_arrays(
+        (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32),
+        (nrm @ r_inst.T).astype(np.float32),
+        (tan @ r_inst.T).astype(np.float32),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    pert = np.eye(4, dtype=np.float32)
+    pert[:3, :3] = rotation_matrix([0.2, 0.9, -0.1], np.deg2rad(1.0))
+    pert[:3, 3] = [0.008, -0.006, 0.005]
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    t_pol = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                         t0, 3.0, iterations=POLICY.tight_icp_iterations,
+                         orientation_weight=POLICY.tight_orientation_weight,
+                         anneal=0.5, edges_only=True)
+    dt_mm, dr = _delta_mm(t_pol, t_gt)
+    assert dt_mm < 0.5 and dr < 0.05
+
+
+def test_edge_anchored_falls_back_without_edges():
+    """A scene with no tangent-bearing points (< 12 edge corrs at every
+    step) must produce EXACTLY the all-point result — the per-step
+    fallback, not a degenerate fit."""
+    xyz, nrm, tan = make_box_model(n_edge=300, n_face=900, size=(1.0, 0.8, 0.6), seed=1)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+    rng = np.random.default_rng(5)
+    r_inst = rotation_matrix([0.1, 0.7, 0.4], 0.8)
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+    scene = PointCloud.from_arrays(
+        (xyz @ r_inst.T + rng.normal(0, 0.001, xyz.shape)).astype(np.float32),
+        (nrm @ r_inst.T).astype(np.float32),
+        np.zeros_like(xyz),  # tangents stripped: tangent_mask all-false
+    )
+    prep = prepare_scene(scene, POLICY)
+    assert int(prep.n_edge) == 0
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(t_gt)))
+    kw = dict(iterations=4, orientation_weight=False, anneal=0.5)
+    t_edge = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                          t0, 3.0, edges_only=True, **kw)
+    t_all = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                         t0, 3.0, edges_only=False, **kw)
+    assert np.allclose(np.asarray(t_edge), np.asarray(t_all), atol=1e-6)
+
+
 def test_tight_anneal_harmless_on_clean_scene():
     """On a clean scene the annealed schedule must match the fixed band's
     sub-0.5 mm result (true corrs survive every tightening)."""

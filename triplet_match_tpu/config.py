@@ -331,6 +331,21 @@ class SearchPolicy:
     # measured harmless on clean scenes; acceptance decisions are made at
     # the UN-polished pose, so this knob can only move reported transforms
     tight_anneal: float = 0.5
+    # fit the tight polish on tangent-bearing (edge) correspondences only.
+    # Touching fog carries no tangents, so an edge-gated fit cannot be
+    # pulled by it at ANY band width — the all-point annealed polish still
+    # landed 6.3 mm / 2.6 deg off at the 4M envelope edge
+    # (evidence_r5/diag4m_s2_r5.jsonl) because the in-band fog mass tracks
+    # the band as it tightens.  The edge corrs are the statistic acceptance
+    # already gates on (score_t >= match_factor * n_edge,
+    # impl/scene.hpp:193-237), so anchoring the pose to them is the same
+    # trust decision the search has already made.  Each step falls back to
+    # all-point weights when fewer than 12 edge corrs are in band
+    # (degenerate/edge-poor geometries); acceptance decisions are made at
+    # the UN-polished pose, so the knob can only move reported transforms.
+    # None = auto: the fog-density switch enables it alongside
+    # rank_edges_only when the model has edge points; explicit wins.
+    tight_edges_only: bool | None = None
 
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()

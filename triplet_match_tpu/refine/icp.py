@@ -125,6 +125,7 @@ def tight_polish(
     samples_on_all: bool = True,
     orientation_weight: bool = False,
     anneal: float = 1.0,
+    edges_only: bool = False,
     axis_name: str | None = None,
 ) -> jax.Array:
     """Extra Kabsch steps at the UNRELAXED threshold with exact
@@ -156,6 +157,16 @@ def tight_polish(
     step) survive every tightening.  1.0 (legacy) keeps the fixed
     unrelaxed band; the 1/16 floor keeps the band above typical scene
     noise at any iteration count.
+
+    ``edges_only``: fit each step on tangent-bearing scene correspondences
+    only.  At the densest fog regimes the annealing is not enough — the
+    in-band fog mass tracks the band as it tightens and the fit settles in
+    a fog-shifted attractor (6.3 mm / 2.6 deg at the 4M envelope edge).
+    Fog has no tangents, so an edge-gated fit is immune at any band width,
+    and the first iteration's full ``dist_thres`` band re-captures true
+    edges from several mm away.  Steps with fewer than 12 in-band edge
+    corrs fall back to all-point weights (degenerate or edge-poor
+    geometries keep the legacy behavior).
     """
 
     def _ff(t, thres, exact=False):
@@ -171,6 +182,12 @@ def tight_polish(
     def tight_body(i, t):
         corrs = _ff(t, thres_sched[i], exact=True)
         w = corrs.valid.astype(jnp.float32)
+        if edges_only:
+            we = w * tangent_mask.astype(jnp.float32)
+            cnt_e = jnp.sum(we)
+            if axis_name is not None:
+                cnt_e = lax.psum(cnt_e, axis_name)
+            w = jnp.where(cnt_e >= 12.0, we, w)
         if orientation_weight:
             midx_o = corrs.model_idx
             ref = jnp.where(tangent_mask[:, None], scene.tangent, scene.normal)

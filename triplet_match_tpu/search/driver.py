@@ -703,6 +703,7 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
                 iterations=policy.tight_icp_iterations,
                 orientation_weight=policy.tight_orientation_weight,
                 anneal=policy.tight_anneal,
+                edges_only=bool(policy.tight_edges_only),
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 point_to_plane=policy.icp_point_to_plane,
@@ -1162,6 +1163,14 @@ def find_all(
             rank_edges_only=(policy.rank_edges_only
                              if policy.rank_edges_only is not None
                              else int(model.n_edge) > 0),
+            # anchor the tight polish to the same edge corrs: the all-point
+            # annealed fit settles in a fog-shifted attractor at the 4M
+            # envelope edge (6.3 mm / 2.6 deg, evidence_r5/diag4m_s2_r5) —
+            # fog has no tangents, so the edge-gated fit is immune; each
+            # step falls back to all-point weights below 12 edge corrs
+            tight_edges_only=(policy.tight_edges_only
+                              if policy.tight_edges_only is not None
+                              else int(model.n_edge) > 0),
             # bound the join's scene-sized passes: gather per-finalist
             # in-grid candidate subsets (exact by the voxel_query in_bounds
             # superset argument — _candidate_subset) instead of walking all
@@ -1176,6 +1185,7 @@ def find_all(
         stats["fine_rescore_full"] = True
         stats["finalist_prescreen"] = int(policy.finalist_prescreen)
         stats["rank_edges_only"] = bool(policy.rank_edges_only)
+        stats["tight_edges_only"] = bool(policy.tight_edges_only)
         stats["join_subset_capacity"] = int(policy.join_subset_capacity or 0)
         # the widened ranking funnel (stats["finalists"] counts what reaches
         # the relaxed-ICP join, i.e. the post-prescreen width)
