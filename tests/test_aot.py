@@ -106,6 +106,62 @@ def test_get_or_compile_roundtrip(aot_dir, monkeypatch):
     assert float(got2(jnp.zeros(4))[0]) == 1.0  # the fake's reloaded program
 
 
+def test_program_key_survives_source_churn(aot_dir, monkeypatch):
+    """A source edit invalidates the cheap key, but the same traced program
+    must hit the stored blob through the program key (no re-serialize), and
+    the refreshed alias must serve the next fresh process without lowering."""
+    calls = {"ser": 0, "des": 0}
+
+    class FakeSE:
+        @staticmethod
+        def serialize(compiled):
+            calls["ser"] += 1
+            return b"blob", ("in",), ("out",)
+
+        @staticmethod
+        def deserialize_and_load(blob, in_tree, out_tree):
+            calls["des"] += 1
+            return jax.jit(lambda x: x + 1).lower(jnp.zeros(4)).compile()
+
+    _patch_serializer(monkeypatch, FakeSE)
+
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.arange(4.0)
+    aot.get_or_compile("t", f, (x,), "s")
+    assert calls["ser"] == 1
+    # blob lands under the program key; the cheap key is an alias to it
+    assert any(p.startswith("p") and p.endswith(".jaxexec")
+               for p in os.listdir(aot_dir))
+    assert any(p.endswith(".alias") for p in os.listdir(aot_dir))
+
+    # "edit the source": new source hash -> new cheap key, same program
+    monkeypatch.setattr(aot, "_SRC_HASH", "deadbeefdeadbeef")
+    aot.clear_memory_cache()
+    got = aot.get_or_compile("t", f, (x,), "s")
+    assert calls["ser"] == 1  # no recompile/store
+    assert calls["des"] == 1  # loaded the existing blob via the program key
+    assert float(got(jnp.zeros(4))[0]) == 1.0  # the fake's reloaded program
+
+    # the churned cheap key now has its own alias: a fresh process resolves
+    # without lowering (load alone, no get_or_compile)
+    aot.clear_memory_cache()
+    key2 = aot.cache_key("t", (x,), "s")
+    assert aot.load(key2) is not None
+    assert calls["des"] == 2
+
+
+def test_sweep_drops_orphaned_aliases(aot_dir):
+    with open(os.path.join(aot_dir, "pabc.jaxexec"), "wb") as fh:
+        fh.write(b"x")
+    with open(os.path.join(aot_dir, "aaaa.alias"), "w") as fh:
+        fh.write("pabc")  # live target
+    with open(os.path.join(aot_dir, "bbbb.alias"), "w") as fh:
+        fh.write("pmissing")  # orphan
+    aot._sweep()
+    left = sorted(os.listdir(aot_dir))
+    assert "aaaa.alias" in left and "bbbb.alias" not in left
+
+
 def test_fallback_on_store_failure(aot_dir, monkeypatch):
     """A serializer that raises must not break the caller: jit still runs."""
 

@@ -23,6 +23,18 @@ Stale entries are therefore impossible by construction; the cache
 directory is bounded by an LRU file sweep.  Any failure to load or store
 falls back silently to the normal jit path — AOT is an accelerator, never
 a correctness dependency.
+
+Two-level keying (round 5): the source-hash key above is cheap (no
+tracing) but over-invalidates — editing a comment, a script, or an
+unrelated module re-pays the remote-compile lottery for every program.
+Executable blobs are therefore stored under a *program key* (hash of the
+lowered StableHLO text + backend + jax version — the program fully
+determines the executable), and the cheap source-hash key becomes a tiny
+``.alias`` file pointing at it.  A fresh process with unchanged source
+resolves blob through the alias without tracing; after a code edit the
+alias misses, the program is re-lowered (seconds), and if the traced
+program is unchanged the blob still HITS on the program key — only a real
+program change recompiles.
 """
 
 from __future__ import annotations
@@ -145,8 +157,64 @@ def cache_key(tag: str, args, statics: str) -> str:
     return hashlib.sha256(parts.encode()).hexdigest()[:32]
 
 
+def program_key(tag: str, lowered) -> str:
+    """Key on the lowered program itself: StableHLO text + backend + jax
+    version.  The compile options are the repo-wide defaults everywhere, so
+    the lowered program determines the executable."""
+    import jax
+
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update("\x00".join([
+        tag,
+        jax.__version__,
+        dev.platform,
+        getattr(dev, "device_kind", "?"),
+    ]).encode())
+    h.update(lowered.as_text().encode())
+    return "p" + h.hexdigest()[:31]
+
+
 def _path(key: str) -> str:
     return os.path.join(cache_dir(), f"{key}.jaxexec")
+
+
+def _alias_path(key: str) -> str:
+    return os.path.join(cache_dir(), f"{key}.alias")
+
+
+def _write_alias(key: str, target: str) -> None:
+    """Best-effort atomic publish of the cheap-key -> program-key alias."""
+    try:
+        os.makedirs(cache_dir(), mode=0o700, exist_ok=True)
+        if not _dir_is_trusted(cache_dir()):
+            return
+        fd, tmp = tempfile.mkstemp(dir=cache_dir(), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(target)
+            os.replace(tmp, _alias_path(key))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    except Exception:
+        pass
+
+
+def _read_alias(key: str) -> str | None:
+    try:
+        with open(_alias_path(key)) as fh:
+            target = fh.read().strip()
+    except OSError:
+        return None
+    # an alias target is a key we wrote: hex with an optional 'p' prefix
+    if target and target != key and len(target) <= 64 \
+            and all(c in "0123456789abcdefp" for c in target):
+        return target
+    return None
 
 
 def _warn_once(msg: str) -> None:
@@ -179,6 +247,14 @@ def load(key: str):
         _remember(key, compiled)
         return compiled
     except FileNotFoundError:
+        # no blob under this key: a cheap (source-hash) key may alias the
+        # program-key blob written by an earlier source revision
+        target = _read_alias(key)
+        if target is not None:
+            hit = load(target)
+            if hit is not None:
+                _remember(key, hit)  # both keys warm in memory
+            return hit
         return None
     except Exception as e:  # stale format / backend mismatch / pickle issues
         _warn_once(f"load failed: {e!r}")
@@ -242,6 +318,17 @@ def _sweep() -> None:
         entries.sort()
         for _, p in entries[:-_MAX_ENTRIES]:
             os.unlink(p)
+        # drop aliases whose target blob was swept (or never landed)
+        for f in os.listdir(cache_dir()):
+            if not f.endswith(".alias"):
+                continue
+            p = os.path.join(cache_dir(), f)
+            target = _read_alias(f[:-len(".alias")])
+            if target is None or not os.path.exists(_path(target)):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
     except OSError:
         pass
 
@@ -265,11 +352,34 @@ def get_or_compile(tag: str, jitted, args, statics: str):
     if compiled is not None:
         return compiled
     try:
-        compiled = jitted.lower(*args).compile()
+        lowered = jitted.lower(*args)
     except Exception as e:
-        _warn_once(f"explicit lower/compile failed: {e!r}")
+        _warn_once(f"explicit lower failed: {e!r}")
         return jitted
-    store(key, compiled)
+    # cheap key missed (usually: source edited) — the lowered program may
+    # still match a stored blob from before the edit
+    try:
+        pkey = program_key(tag, lowered)
+    except Exception as e:
+        _warn_once(f"program keying failed: {e!r}")
+        pkey = None
+    if pkey is not None:
+        compiled = load(pkey)
+        if compiled is not None:
+            _write_alias(key, pkey)  # next fresh process skips the lowering
+            _remember(key, compiled)
+            return compiled
+    try:
+        compiled = lowered.compile()
+    except Exception as e:
+        _warn_once(f"explicit compile failed: {e!r}")
+        return jitted
+    if pkey is not None:
+        store(pkey, compiled)
+        _write_alias(key, pkey)
+        _remember(key, compiled)
+    else:
+        store(key, compiled)
     return compiled
 
 
