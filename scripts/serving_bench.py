@@ -50,6 +50,12 @@ def main() -> int:
                     help="serve a library of N box-variant models through "
                          "MultiMatcher (shared per-scene prep) instead of "
                          "a single-model Matcher")
+    ap.add_argument("--warmup", action="store_true",
+                    help="call matcher.warmup over the stream's bucket range "
+                         "before timing (sparse + dense executable flavors) — "
+                         "the deployment pattern the warmup API exists for; "
+                         "warmup seconds are reported separately and the "
+                         "stream then pays no first-compile cliff")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
@@ -108,8 +114,20 @@ def main() -> int:
     else:
         matcher = Matcher(model, policy=policy, min_capacity=min_cap)
     # hold every (bucket, model) program for the whole stream — the default
-    # LRU bound would evict (and the "programs" metric would silently cap)
-    driver.reserve_round_cache(4 * args.models)
+    # LRU bound would evict (and the "programs" metric would silently cap).
+    # With --warmup each bucket carries TWO flavors (sparse + dense).
+    driver.reserve_round_cache((8 if args.warmup else 4) * args.models)
+
+    warmup_s = 0.0
+    if args.warmup:
+        lo = int(n_nominal * (1.0 - args.vary))
+        hi = int(n_nominal * (1.0 + args.vary))
+        t1 = time.perf_counter()
+        warmed = matcher.warmup([lo, n_nominal, hi], model_match_factor=0.5,
+                                sample_params=sample)
+        warmup_s = time.perf_counter() - t1
+        print(f"[serve] warmed buckets {warmed} in {warmup_s:.1f}s",
+              file=sys.stderr)
 
     rng = np.random.default_rng(args.seed)
     lat = []
@@ -150,6 +168,8 @@ def main() -> int:
         "scenes": args.scenes,
         "nominal_points": n_nominal,
         "model_compile_s": round(compile_s, 2),
+        "warmup": bool(args.warmup),
+        "warmup_s": round(warmup_s, 2),
         "first_s": round(lat[0], 2),
         "p50_ms": round(p50 * 1000, 1),
         "p95_ms": round(p95 * 1000, 1),
