@@ -53,10 +53,10 @@ step() {  # step <name> <run_timeout_s> <cmd...>
   grep -h '^{' "$LOGDIR/$name.log" > "$LOGDIR/$name.jsonl" 2>/dev/null
 }
 
-step scaling_r5b 10800 python scripts/scaling_study.py --sizes 2097152,4194304
-step diag4m_s2_r5b 7200 python scripts/diag_dense_fault.py --points 4194304 --seed 2
-step recall500k_r5b 10800 python scripts/recall_study.py --seeds 10 --points 500000
-step recall131k_r5b 10800 python scripts/recall_study.py --seeds 10 --points 131072
+step scaling_r5c 10800 python scripts/scaling_study.py --sizes 2097152,4194304
+step diag4m_s2_r5c 7200 python scripts/diag_dense_fault.py --points 4194304 --seed 2
+step recall500k_r5c 10800 python scripts/recall_study.py --seeds 10 --points 500000
+step recall131k_r5c 10800 python scripts/recall_study.py --seeds 10 --points 131072
 step serving_warm_r5 7200 python scripts/serving_bench.py --warmup
 step config4_r5 7200 python scripts/run_baseline_configs.py --configs 4
 step config5_r5 7200 python scripts/run_baseline_configs.py --configs 5

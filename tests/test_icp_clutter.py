@@ -276,6 +276,25 @@ def test_edge_anchored_polish_beats_all_point_in_fogbound(fogbound_scene):
     assert dt_edge < 1.0 and dr_edge < 0.1
 
 
+def test_edge_anchor_independent_of_detection_mask(fogbound_scene):
+    """The anchor gates on RAW provided tangents, not the curvature-gated
+    detection mask — dense fog contaminates the detection neighborhoods
+    (343/600 instance edges survive at this fixture's density, fewer at
+    4M), so a collapsed detection mask must not change the edge-anchored
+    result."""
+    model, prep, consumed, t0, t_gt = fogbound_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    kw = dict(iterations=4, orientation_weight=False, anneal=0.5,
+              edges_only=True)
+    t_a = tight_polish(model, prep.cloud, prep.tangent_mask, consumed,
+                       relaxed.transform, 3.0, **kw)
+    t_b = tight_polish(model, prep.cloud,
+                       jnp.zeros_like(prep.tangent_mask), consumed,
+                       relaxed.transform, 3.0, **kw)
+    assert np.allclose(np.asarray(t_a), np.asarray(t_b), atol=1e-6)
+
+
 def test_edge_anchored_harmless_on_clean_scene():
     """Clean-scene control: the edge-gated fit must match the all-point
     sub-0.5 mm result (box edges span all three directions)."""

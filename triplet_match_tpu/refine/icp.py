@@ -164,10 +164,25 @@ def tight_polish(
     a fog-shifted attractor (6.3 mm / 2.6 deg at the 4M envelope edge).
     Fog has no tangents, so an edge-gated fit is immune at any band width,
     and the first iteration's full ``dist_thres`` band re-captures true
-    edges from several mm away.  Steps with fewer than 12 in-band edge
-    corrs fall back to all-point weights (degenerate or edge-poor
-    geometries keep the legacy behavior).
+    edges from several mm away.  The gate uses the RAW provided tangents
+    (``|scene.tangent| > 0.7``), not the curvature-gated detection mask:
+    detection validates ranking/acceptance eligibility, but its curvature
+    neighborhoods are exactly what dense fog contaminates (343/600
+    instance edges survive detection at 60k fog, fewer at 4M — the
+    detection-starved anchor measured 1.30 mm / 0.91 deg,
+    evidence_r5/scaling_r5b), while the dataset's own tangent claim is
+    density-independent.  Steps with fewer than 12 in-band edge corrs
+    fall back to all-point weights (degenerate or edge-poor geometries
+    keep the legacy behavior).
     """
+
+    if edges_only:
+        # the raw-tangent mask replaces the curvature-gated detection mask
+        # for the WHOLE polish (correspondence direction choice AND the
+        # fit gate) — the polish is then independent of detection, which
+        # dense fog starves (see docstring)
+        tangent_mask = jnp.linalg.norm(scene.tangent, axis=-1) > 0.7
+        raw_edges = tangent_mask.astype(jnp.float32)
 
     def _ff(t, thres, exact=False):
         return finish_find(model, scene, tangent_mask, consumed, t, thres, exact=exact,
@@ -183,7 +198,7 @@ def tight_polish(
         corrs = _ff(t, thres_sched[i], exact=True)
         w = corrs.valid.astype(jnp.float32)
         if edges_only:
-            we = w * tangent_mask.astype(jnp.float32)
+            we = w * raw_edges
             cnt_e = jnp.sum(we)
             if axis_name is not None:
                 cnt_e = lax.psum(cnt_e, axis_name)
