@@ -41,6 +41,10 @@ def main():
                     help="tight_icp_iterations override")
     ap.add_argument("--tight-edges", choices=["on", "off"], default=None,
                     help="tight_edges_only override (None = fog-switch auto)")
+    ap.add_argument("--tight-p2l", choices=["on", "off"], default=None,
+                    help="tight_point_to_line override (None = fog-switch auto)")
+    ap.add_argument("--raw-tangents", choices=["on", "off"], default=None,
+                    help="scene_raw_tangents override (None = fog-switch auto)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -76,6 +80,12 @@ def main():
     if args.tight_edges is not None:
         policy = dataclasses.replace(policy,
                                      tight_edges_only=args.tight_edges == "on")
+    if args.tight_p2l is not None:
+        policy = dataclasses.replace(policy,
+                                     tight_point_to_line=args.tight_p2l == "on")
+    if args.raw_tangents is not None:
+        policy = dataclasses.replace(policy,
+                                     scene_raw_tangents=args.raw_tangents == "on")
     xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
     model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), disc, sample, policy)
 
@@ -88,9 +98,19 @@ def main():
     # NB key name: LAST_SEARCH_STATS carries its own "finalists" counter
     # (total finalists processed across rounds) which row.update would
     # overwrite this arg with
+    import jax.numpy as jnp
+
+    raw_edges = int(jnp.sum(
+        (jnp.linalg.norm(scene.tangent, axis=-1) > 0.7) & prep.cloud.valid))
     row = {"config": "diag_dense_fault", "points": args.points,
            "funnel": args.finalists, "icp": args.icp, "tight": args.tight,
-           "seed": args.seed, "prepare_s": round(prep_s, 2)}
+           "seed": args.seed, "prepare_s": round(prep_s, 2),
+           # detection starvation diagnostic: acceptance needs
+           # score_t >= 0.5 * model n_edge DETECTED tangent corrs; dense
+           # fog contaminates the curvature gate's neighborhoods, so the
+           # detected count falls with density while the raw count stays
+           "scene_n_edge_detected": int(prep.n_edge),
+           "scene_n_edge_raw": raw_edges}
     t0 = time.perf_counter()
     try:
         m = driver.find_all(model, scene, dist_thres=3.0, model_match_factor=0.5,

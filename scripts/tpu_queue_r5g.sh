@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-5 phase F: point-to-line edge anchor (policy.tight_point_to_line,
+# auto with the fog switch) hardware validation — scaling 2M/4M, the
+# 500k recall protocol, the low-edge adversarial model, and the 131k
+# control (fog switch inert there, must stay bit-identical).
+# Waits for phase E (envelope probe) to finish before touching the TPU.
+ROOT="${1:-/root/repo}"
+LOGDIR=/root/repo/evidence_r5
+mkdir -p "$LOGDIR"
+cd "$ROOT"
+for i in $(seq 1 240); do
+  grep -q "PHASE F DONE" "$LOGDIR/queue.log" && break
+  sleep 60
+done
+wait_tpu() {
+  for i in $(seq 1 60); do
+    if timeout 240 python -c "
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/tmtpu_jax_cache')
+import jax.numpy as jnp
+assert int(jnp.ones(8).sum()) == 8
+" >/dev/null 2>&1; then
+      echo "[queueG] tunnel up (attempt $i) $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"; return 0
+    fi
+    echo "[queueG] tpu wait $i $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"; sleep 120
+  done
+  return 1
+}
+step() {
+  local name="$1" to="$2"; shift 2
+  wait_tpu || { echo "[queueG] NEVER-RAN $name" >> "$LOGDIR/queue.log"; return 1; }
+  echo "[queueG] START $name $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+  timeout "$to" "$@" > "$LOGDIR/$name.log" 2>&1
+  echo "[queueG] END $name rc=$? $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"
+  grep -h '^{' "$LOGDIR/$name.log" > "$LOGDIR/$name.jsonl" 2>/dev/null
+}
+step diag2m_s1_off_r5 3600 python scripts/diag_dense_fault.py --points 2097152 --seed 1 --tight-p2l off --raw-tangents off
+step diag2m_s1_p2l_r5 3600 python scripts/diag_dense_fault.py --points 2097152 --seed 1 --tight-p2l on --raw-tangents off
+step diag2m_s2_off_r5 3600 python scripts/diag_dense_fault.py --points 2097152 --seed 2 --tight-p2l off --raw-tangents off
+step diag2m_s2_p2l_r5 3600 python scripts/diag_dense_fault.py --points 2097152 --seed 2 --tight-p2l on --raw-tangents off
+step diag2m_s2_raw_r5 3600 python scripts/diag_dense_fault.py --points 2097152 --seed 2 --tight-p2l off --raw-tangents on
+step diag6m_s1_p2loff_r5 3600 python scripts/diag_dense_fault.py --points 6291456 --seed 1 --tight-p2l off --raw-tangents off
+step diag6m_s2_raw_r5 3600 python scripts/diag_dense_fault.py --points 6291456 --seed 2 --tight-p2l off --raw-tangents on
+echo "[queueG] PHASE G DONE $(date +%H:%M:%S)" >> "$LOGDIR/queue.log"

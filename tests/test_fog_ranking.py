@@ -114,13 +114,62 @@ def test_find_all_recovers_in_dense_fog_via_edge_ranking():
     )
     assert driver.LAST_SEARCH_STATS.get("fine_rescore_full") is True
     assert driver.LAST_SEARCH_STATS.get("rank_edges_only") is True
+    # the fog switch also anchors the polish point-to-line (round 5):
+    # edge corrs are nearest samples of the edge curves, so the GN fit
+    # projects out the along-edge sampling axis
+    assert driver.LAST_SEARCH_STATS.get("tight_point_to_line") is True
     assert matches, "instance lost in fog"
     dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
     assert float(dt) < 1.5e-3 and float(np.degrees(float(dr))) < 0.5
 
     # explicit opt-out keeps the pre-round-4 all-point ranking
-    off = dataclasses.replace(policy, rank_edges_only=False)
+    off = dataclasses.replace(policy, rank_edges_only=False,
+                              tight_point_to_line=False)
     driver.find_all(model, scene, dist_thres=3.0, model_match_factor=0.5,
                     sample_params=SAMPLE, discretization=DISC, policy=off,
                     max_icp_iterations=10, seed=5)
     assert driver.LAST_SEARCH_STATS.get("rank_edges_only") is False
+    assert driver.LAST_SEARCH_STATS.get("tight_point_to_line") is False
+
+
+def test_raw_tangent_gate_recovers_when_detection_starves():
+    """policy.scene_raw_tangents: greedy acceptance needs score_t >=
+    match_factor * model n_edge tangent-bearing corrs, but dense fog
+    contaminates the curvature neighborhoods the detection gate inspects
+    — at 100k fog / extent 0.9 only ~279/600 instance edges survive
+    detection, UNDER the 300-corr threshold, so acceptance is
+    structurally impossible on the detected mask (the 6M seed-2 envelope
+    miss, evidence_r5/diag6m_s2_r5: rejection_rate 1.0).  The raw
+    provided-tangent mask is density-independent (and a superset of the
+    detected mask), so the fog switch swaps the scene's edge identity to
+    it; an explicit opt-out must reproduce the starved miss."""
+    policy = SearchPolicy(scorer="pallas", pallas_interpret=True,
+                          num_first_samples=64, max_rounds=2)
+    (mx, mn, mt), scene, t_gt = _fog_scene(100000, seed=4, extent=0.9)
+    model = compile_model(PointCloud.from_arrays(mx, mn, mt), DISC, SAMPLE, policy)
+    prep = driver.prepare_scene(scene, policy)
+    n_det = int(prep.n_edge)
+    min_pts = int(0.5 * 600)
+    assert n_det < min_pts, n_det  # the starvation premise holds
+
+    matches = driver.find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=policy,
+        max_icp_iterations=10, seed=5, prep=prep,
+    )
+    assert driver.LAST_SEARCH_STATS.get("scene_raw_tangents") is True
+    assert driver.LAST_SEARCH_STATS.get("scene_n_edge_raw") == 600
+    assert matches, "instance lost despite the raw-tangent gate"
+    dt, dr = pose_delta(jnp.asarray(matches[0].transform), jnp.asarray(t_gt))
+    assert float(dt) < 1.5e-3 and float(np.degrees(float(dr))) < 0.5
+
+    # explicit opt-out: the detected mask cannot reach the acceptance
+    # threshold, so the same scene yields no match
+    off = dataclasses.replace(policy, scene_raw_tangents=False)
+    matches_off = driver.find_all(
+        model, scene, dist_thres=3.0, model_match_factor=0.5,
+        sample_params=SAMPLE, discretization=DISC, policy=off,
+        max_icp_iterations=10, seed=5, prep=prep,
+    )
+    assert driver.LAST_SEARCH_STATS.get("scene_raw_tangents") is None
+    assert not matches_off

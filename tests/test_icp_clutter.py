@@ -376,3 +376,75 @@ def test_tight_anneal_harmless_on_clean_scene():
                          anneal=0.5)
     dt_mm, dr = _delta_mm(t_pol, t_gt)
     assert dt_mm < 0.5 and dr < 0.05
+
+
+@pytest.fixture(scope="module")
+def resampled_fogbound_scene():
+    """The fogbound regime with an INDEPENDENTLY-SAMPLED instance: the
+    scene observes the box surface, not the model's own sample set (no
+    real scan shares the CAD model's sampling).  Edge correspondences are
+    then nearest SAMPLES of the edge curves with a random along-edge
+    phase, and a mis-associated neighbor sample (16 mm spacing at this
+    fixture) injects its full along-edge error into a point-to-point fit
+    — the worst seed of scripts/study_p2l_polish.py measures 2.94 mm
+    point-to-point vs 0.27 mm point-to-line."""
+    from triplet_match_tpu.io.synthetic import fog_patches
+
+    xyz, nrm, tan = make_box_model(n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=0)
+    model = compile_model(PointCloud.from_arrays(xyz, nrm, tan), DISC, SAMPLE, POLICY)
+
+    rng = np.random.default_rng(58)
+    axis = rng.normal(size=3)
+    r_inst = rotation_matrix(axis / np.linalg.norm(axis), float(rng.uniform(0.3, 1.4)))
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = r_inst
+
+    # independently-phased sampling of the same box surface
+    s_xyz_m, s_nrm_m, s_tan_m = make_box_model(
+        n_edge=600, n_face=1800, size=(1.0, 0.8, 0.6), seed=158)
+    i_xyz = (s_xyz_m @ r_inst.T + rng.normal(0, 0.001, s_xyz_m.shape)).astype(np.float32)
+
+    c_xyz, c_nrm = fog_patches(rng, 60000, seed_base=9058, extent=0.9)
+    face_z = np.flatnonzero(s_nrm_m[:, 2] > 0.7)
+    s_idx = rng.choice(face_z, 12000)
+    sh_xyz = (((s_xyz_m[s_idx] + s_nrm_m[s_idx] * 0.003) @ r_inst.T)
+              + rng.normal(0, 0.001, (12000, 3))).astype(np.float32)
+    sh_nrm = (s_nrm_m[s_idx] @ r_inst.T).astype(np.float32)
+
+    scene = PointCloud.from_arrays(
+        np.concatenate([i_xyz, c_xyz, sh_xyz]).astype(np.float32),
+        np.concatenate([s_nrm_m @ r_inst.T, c_nrm, sh_nrm]).astype(np.float32),
+        np.concatenate([s_tan_m @ r_inst.T,
+                        np.zeros_like(c_xyz), np.zeros_like(sh_xyz)]).astype(np.float32),
+    )
+    prep = prepare_scene(scene, POLICY)
+    consumed = jnp.zeros(scene.xyz.shape[0], bool)
+    pert = np.eye(4, dtype=np.float32)
+    pax = rng.normal(size=3)
+    pert[:3, :3] = rotation_matrix(pax / np.linalg.norm(pax), np.deg2rad(1.5))
+    pert[:3, 3] = rng.uniform(-0.01, 0.01, 3)
+    t0 = jnp.asarray(invert_rigid(jnp.asarray(pert @ t_gt)))
+    return model, prep, consumed, t0, t_gt
+
+
+def test_point_to_line_anchor_beats_point_to_point(resampled_fogbound_scene):
+    """policy.tight_point_to_line: with realistic (independently-phased)
+    instance sampling the point-to-point edge anchor carries the
+    along-edge error of mis-associated edge samples; the hybrid GN fit
+    projects residuals perpendicular to the model tangent and must land
+    sub-0.5 mm where point-to-point is pulled >1 mm off."""
+    model, prep, consumed, t0, t_gt = resampled_fogbound_scene
+    relaxed = icp_refine(model, prep.cloud, prep.tangent_mask, consumed, t0,
+                         3.0, 15, tight_iterations=0)
+    kw = dict(iterations=POLICY.tight_icp_iterations,
+              orientation_weight=POLICY.tight_orientation_weight,
+              anneal=POLICY.tight_anneal, edges_only=True)
+    dt_p2p, _ = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, point_to_line_at_floor=False, **kw), t_gt)
+    dt_p2l, dr_p2l = _delta_mm(tight_polish(
+        model, prep.cloud, prep.tangent_mask, consumed, relaxed.transform,
+        3.0, point_to_line_at_floor=True, **kw), t_gt)
+    assert dt_p2p > 1.0, dt_p2p  # the association failure mode is real
+    assert dt_p2l < 0.5 and dr_p2l < 0.05, (dt_p2l, dr_p2l)
+    assert dt_p2l < 0.5 * dt_p2p

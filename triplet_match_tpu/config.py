@@ -346,6 +346,43 @@ class SearchPolicy:
     # None = auto: the fog-density switch enables it alongside
     # rank_edges_only when the model has edge points; explicit wins.
     tight_edges_only: bool | None = None
+    # fit the tight steps whose annealed band has reached the 1/16 floor
+    # with the hybrid Gauss-Newton (perpendicular-to-tangent for edge
+    # corrs, point-to-plane for the all-point fallback) instead of
+    # point-to-point Kabsch.  Edge correspondences are nearest SAMPLES of
+    # the model's edge curves, so the point-to-point fit carries the
+    # along-edge sampling phase and, worse, the full along-edge error of
+    # any mis-associated neighbor sample; projecting residuals onto the
+    # plane perpendicular to the model tangent removes that axis from the
+    # normal equations entirely.  Floor-gated (not every step): at wide
+    # bands a corner point can associate to the PERPENDICULAR edge and
+    # donate a wrong constraint plane, so wide-band steps stay
+    # point-to-point — the floor-gated schedule measures identical
+    # precision to GN-every-step on every CPU study seed
+    # (scripts/study_p2l_polish.py, independently-sampled instances =
+    # the realistic no-shared-sampling case: worst 2.94 -> 0.27 mm in
+    # fogbound, 0.44 -> 0.27 mm clean, uniformly better on every seed).
+    # None = auto: enabled with the fog-density switch alongside
+    # tight_edges_only; explicit wins.  Acceptance decisions are made at
+    # the UN-polished pose, so the knob can only move reported
+    # transforms.  Inert at tight_anneal=1.0 (band never reaches floor).
+    tight_point_to_line: bool | None = None
+    # in the fog regime, take the scene's edge identity (sampling
+    # eligibility, scoring kinds, edge-ranking and the acceptance
+    # statistic) from the RAW provided tangents instead of the
+    # curvature-gated detection mask.  Acceptance needs
+    # score_t >= model_match_factor * model n_edge tangent-bearing
+    # corrs, but dense fog contaminates exactly the neighborhoods the
+    # curvature gate inspects — detected survivors fall with density
+    # (343/600 at the 60k CPU fixture, below the 300-corr acceptance
+    # threshold at the 6M envelope edge: rejection_rate 1.0, found 0 —
+    # evidence_r5/diag6m_s2_r5) while the dataset's own tangent claim is
+    # density-independent.  The detection mask is always a SUBSET of the
+    # raw mask (the curvature pass only filters tangent-bearing points),
+    # so this can only widen the statistic toward the input data's
+    # labels.  None = auto with the fog switch; explicit wins.  Scenes
+    # without provided tangents are unaffected (both masks empty).
+    scene_raw_tangents: bool | None = None
 
 
 DEFAULT_SAMPLE_PARAMS = SampleParams()

@@ -178,7 +178,8 @@ def gauss_newton_pose_step(src, dst, m_dir, m_kind, w,
         [axis[2], 0.0, -axis[0]],
         [-axis[1], axis[0], 0.0],
     ])
-    r = jnp.eye(3) + jnp.sin(angle) * k + (1.0 - jnp.cos(angle)) * (k @ k)
+    r = (jnp.eye(3) + jnp.sin(angle) * k
+         + (1.0 - jnp.cos(angle)) * jnp.matmul(k, k, precision=_HI))
 
     out = jnp.zeros((4, 4), src.dtype)
     out = out.at[:3, :3].set(r)

@@ -126,6 +126,7 @@ def tight_polish(
     orientation_weight: bool = False,
     anneal: float = 1.0,
     edges_only: bool = False,
+    point_to_line_at_floor: bool = False,
     axis_name: str | None = None,
 ) -> jax.Array:
     """Extra Kabsch steps at the UNRELAXED threshold with exact
@@ -158,6 +159,24 @@ def tight_polish(
     unrelaxed band; the 1/16 floor keeps the band above typical scene
     noise at any iteration count.
 
+    ``point_to_line_at_floor``: run the hybrid Gauss-Newton fit
+    (``gauss_newton_pose_step`` — edge corrs constrained perpendicular to
+    the model tangent, surface corrs along normals) on the iterations
+    whose annealed band has reached within 2x of the 1/16 floor, and the
+    point-to-point Kabsch everywhere else.  Edge correspondences are
+    nearest SAMPLES of the model's edge curves, so the point-to-point fit
+    carries the along-edge sampling phase and the full along-edge error
+    of mis-associated neighbor samples — projecting that axis out of the
+    normal equations removes the ~0.15-0.5 mm sampling floor of the edge
+    anchor (scripts/study_p2l_polish.py: worst 2.94 -> 0.27 mm with
+    independently-sampled instances).  Gating on the floor keeps the
+    wide-band iterations point-to-point, where cross-edge associations
+    (a corner point grabbing the perpendicular edge) would otherwise
+    donate wrong constraint planes; the floor-gated schedule measures
+    identical precision to GN-every-step on every study seed.  Inert
+    when ``anneal=1.0`` (the band never reaches the floor).
+    ``point_to_plane`` (the legacy global knob) runs GN on EVERY step.
+
     ``edges_only``: fit each step on tangent-bearing scene correspondences
     only.  At the densest fog regimes the annealing is not enough — the
     in-band fog mass tracks the band as it tightens and the fit settles in
@@ -175,6 +194,13 @@ def tight_polish(
     fall back to all-point weights (degenerate or edge-poor geometries
     keep the legacy behavior).
     """
+
+    if iterations <= 0:
+        # static no-op: a zero-iteration schedule would still TRACE the
+        # fori_loop body, whose thres_sched[i] gather is out of bounds on
+        # a size-0 schedule (latent until tight_icp_iterations=0 met an
+        # accepting round — found by scripts/debug_polish_hw.py)
+        return t0
 
     if edges_only:
         # the raw-tangent mask replaces the curvature-gated detection mask
@@ -206,12 +232,15 @@ def tight_polish(
         if orientation_weight:
             midx_o = corrs.model_idx
             ref = jnp.where(tangent_mask[:, None], scene.tangent, scene.normal)
-            tref = ref @ t[:3, :3].T
+            # precision-pinned: default TPU matmul is bf16 — fine for a
+            # weight, but pin it anyway for determinism across backends
+            tref = jnp.matmul(ref, t[:3, :3].T,
+                              precision=jax.lax.Precision.HIGHEST)
             mtan_o = model.cloud.tangent[midx_o]
             is_tan_o = jnp.linalg.norm(mtan_o, axis=-1) > 0.7
             ref_n = jnp.where(is_tan_o[:, None], mtan_o, model.cloud.normal[midx_o])
             w = w * jnp.abs(jnp.sum(tref * ref_n, axis=-1))
-        if point_to_plane:
+        if point_to_plane or point_to_line_at_floor:
             # hybrid Gauss-Newton: point-to-plane for surface corrs,
             # perpendicular-to-tangent for edge corrs — unbiased by the
             # tangential sliding of sampled surfaces (beats the
@@ -232,7 +261,26 @@ def tight_polish(
                 src, model.cloud.xyz[midx], m_dir, is_edge, w,
                 axis_name=axis_name,
             )
-            t_new = upd @ t
+            # precision-pinned: a default-precision (bf16 on TPU) 4x4
+            # compose injects ~|t|*2^-9 ≈ 3 mm of translation error and
+            # ~0.2-0.5 deg of rotation error PER STEP — the round-5
+            # hardware regression (2M seed 1: 0.078 mm p2p vs 4.17 mm
+            # p2l, evidence_r5/diag2m_s1_*) while every CPU replay (f32
+            # default matmuls) showed GN better
+            t_gn = jnp.matmul(upd, t, precision=jax.lax.Precision.HIGHEST)
+            if point_to_plane:
+                t_new = t_gn
+            else:
+                # floor-gated: GN only once the annealed band is within
+                # 2x of the 1/16 floor; wide-band steps stay
+                # point-to-point (cross-edge associations at wide bands
+                # donate wrong constraint planes — see docstring)
+                t_kab = weighted_kabsch(
+                    scene.xyz, model.cloud.xyz[corrs.model_idx], w,
+                    axis_name=axis_name)
+                at_floor = (thres_sched[i]
+                            <= 2.001 * jnp.asarray(dist_thres, jnp.float32) / 16.0)
+                t_new = jnp.where(at_floor, t_gn, t_kab)
         else:
             t_new = weighted_kabsch(scene.xyz, model.cloud.xyz[corrs.model_idx], w,
                                     axis_name=axis_name)

@@ -707,6 +707,7 @@ def polish_accepted(model, cloud, tangent_mask, consumed, dist_thres, policy,
                 weighted_distance=policy.weighted_distance,
                 negative_scores=policy.negative_scores,
                 point_to_plane=policy.icp_point_to_plane,
+                point_to_line_at_floor=bool(policy.tight_point_to_line),
                 samples_on_all=policy.samples_on_all,
                 axis_name=axis_name,
             )
@@ -1171,6 +1172,15 @@ def find_all(
             tight_edges_only=(policy.tight_edges_only
                               if policy.tight_edges_only is not None
                               else int(model.n_edge) > 0),
+            # ... and fit those steps point-to-line: edge corrs are
+            # nearest SAMPLES of the edge curves, so point-to-point
+            # carries the along-edge sampling phase (and the full error
+            # of any mis-associated neighbor sample); the hybrid GN
+            # projects residuals perpendicular to the model tangent
+            # (scripts/study_p2l_polish.py: worst 2.94 -> 0.27 mm)
+            tight_point_to_line=(policy.tight_point_to_line
+                                 if policy.tight_point_to_line is not None
+                                 else int(model.n_edge) > 0),
             # bound the join's scene-sized passes: gather per-finalist
             # in-grid candidate subsets (exact by the voxel_query in_bounds
             # superset argument — _candidate_subset) instead of walking all
@@ -1181,11 +1191,29 @@ def find_all(
                                   if policy.join_subset_capacity is not None
                                   else _auto_join_capacity(
                                       int(prep.cloud.xyz.shape[0]))),
+            # ... and take the scene's edge identity from the RAW
+            # provided tangents: acceptance needs score_t >=
+            # model_match_factor * model n_edge tangent corrs, and dense
+            # fog starves the curvature-gated detection below that
+            # threshold (6M seed 2: rejection_rate 1.0 with detection,
+            # evidence_r5/diag6m_s2_r5) while the raw claim is
+            # density-independent.  Detection ⊆ raw, so this only widens.
+            scene_raw_tangents=(policy.scene_raw_tangents
+                                if policy.scene_raw_tangents is not None
+                                else int(model.n_edge) > 0),
         )
+        if policy.scene_raw_tangents:
+            raw_tm = (jnp.linalg.norm(prep.cloud.tangent, axis=-1)
+                      > policy.tangent_norm_threshold) & prep.cloud.valid
+            prep = ScenePrep(cloud=prep.cloud, tangent_mask=raw_tm,
+                             n_edge=jnp.sum(raw_tm.astype(jnp.int32)))
+            stats["scene_raw_tangents"] = True
+            stats["scene_n_edge_raw"] = int(prep.n_edge)
         stats["fine_rescore_full"] = True
         stats["finalist_prescreen"] = int(policy.finalist_prescreen)
         stats["rank_edges_only"] = bool(policy.rank_edges_only)
         stats["tight_edges_only"] = bool(policy.tight_edges_only)
+        stats["tight_point_to_line"] = bool(policy.tight_point_to_line)
         stats["join_subset_capacity"] = int(policy.join_subset_capacity or 0)
         # the widened ranking funnel (stats["finalists"] counts what reaches
         # the relaxed-ICP join, i.e. the post-prescreen width)
