@@ -117,7 +117,11 @@ def main():
         m_dir = m_dir / jnp.maximum(
             jnp.linalg.norm(m_dir, axis=-1, keepdims=True), 1e-12)
         upd = gauss_newton_pose_step(src, model.cloud.xyz[midx], m_dir, is_tan, w)
-        t_gn = upd @ t
+        # precision-pinned like production refine/icp.py — this script's
+        # original unpinned compose reproduced the bf16 failure on chip
+        # (evidence_r5/debugpolish500k_r5: Kabsch 0.049 mm, unpinned GN
+        # 9-10 mm) and was the controlled demonstration of ROADMAP 25d
+        t_gn = jnp.matmul(upd, t, precision=jax.lax.Precision.HIGHEST)
         # how many weighted corrs map to model EDGE vs SURFACE points
         n_w = jnp.sum(w > 0)
         n_w_edge = jnp.sum((w > 0) & is_tan)
